@@ -1,0 +1,148 @@
+"""Typed configuration dataclasses.
+
+The reference uses class-level ``default_conf`` dicts merged into a
+``SimpleNamespace`` (reference: lightglue/lightglue.py:322-335, utils.py:132-134).
+Here every config is a frozen dataclass so it can be a static argument to
+``jax.jit`` — hashability is what lets XLA specialize compiled programs per
+configuration without retracing hazards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LightGlueConfig:
+    """Matcher configuration (reference: lightglue/lightglue.py:322-335).
+
+    ``depth_confidence``/``width_confidence`` < 0 disable adaptive depth /
+    width, as in the reference.
+    """
+
+    name: str = "lightglue"
+    input_dim: int = 256
+    descriptor_dim: int = 256
+    add_scale_ori: bool = False
+    n_layers: int = 9
+    num_heads: int = 4
+    flash: bool = True  # use the Pallas fused-attention path when beneficial
+    mp: bool = False  # bfloat16 compute for the transformer stack
+    depth_confidence: float = 0.95
+    width_confidence: float = 0.99
+    filter_threshold: float = 0.1
+    weights: Optional[str] = None
+    # TPU-specific: number of keypoints below which width pruning is skipped.
+    # Mirrors reference pruning_keypoint_thresholds (lightglue.py:339-344) but
+    # with a single TPU entry — pruning on TPU is mask-based, so its overhead
+    # is one extra matchability matmul per layer.
+    pruning_min_kpts: int = 1024
+
+    @property
+    def head_dim(self) -> int:
+        return self.descriptor_dim // self.num_heads
+
+    def replace(self, **kw) -> "LightGlueConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Per-feature presets (reference: lightglue/lightglue.py:351-374).
+FEATURES = {
+    "superpoint": dict(weights="superpoint_lightglue", input_dim=256),
+    "disk": dict(weights="disk_lightglue", input_dim=128),
+    "aliked": dict(weights="aliked_lightglue", input_dim=128),
+    "sift": dict(weights="sift_lightglue", input_dim=128, add_scale_ori=True),
+    "doghardnet": dict(
+        weights="doghardnet_lightglue", input_dim=128, add_scale_ori=True
+    ),
+}
+
+
+def lightglue_config(features: Optional[str] = "superpoint", **conf) -> LightGlueConfig:
+    """Build a LightGlueConfig with a feature preset overlaid (lightglue.py:376-386)."""
+    if features is not None:
+        if features not in FEATURES:
+            raise ValueError(
+                f"Unsupported features: {features} not in {{{','.join(FEATURES)}}}"
+            )
+        conf = {**FEATURES[features], **conf}
+    return LightGlueConfig(**conf)
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Image preprocessing (reference: lightglue/utils.py:12-24)."""
+
+    resize: Optional[int] = None  # target edge length; None = no resize
+    side: str = "long"  # which edge `resize` refers to
+    interpolation: str = "bilinear"
+    antialias: bool = True
+    grayscale: bool = False
+
+    def replace(self, **kw) -> "PreprocessConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SuperPointConfig:
+    """Reference: lightglue/superpoint.py:107-117."""
+
+    descriptor_dim: int = 256
+    nms_radius: int = 4
+    max_num_keypoints: int = 2048  # static on TPU; reference default None=all
+    detection_threshold: float = 0.0005
+    remove_borders: int = 4
+    resize: int = 1024
+
+    def replace(self, **kw) -> "SuperPointConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DISKConfig:
+    """Reference: lightglue/disk.py:8-20."""
+
+    weights: str = "depth"
+    max_num_keypoints: int = 2048
+    desc_dim: int = 128
+    nms_window_size: int = 5
+    detection_threshold: float = 0.0
+    pad_if_not_divisible: bool = True
+    resize: int = 1024
+
+    def replace(self, **kw) -> "DISKConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ALIKEDConfig:
+    """Reference: lightglue/aliked.py:631-644."""
+
+    model_name: str = "aliked-n16"
+    max_num_keypoints: int = 2048
+    detection_threshold: float = 0.2
+    nms_radius: int = 2
+    resize: int = 1024
+
+    def replace(self, **kw) -> "ALIKEDConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SIFTConfig:
+    """Reference: lightglue/sift.py:80-93."""
+
+    rootsift: bool = True
+    nms_radius: int = 0
+    max_num_keypoints: int = 4096
+    backend: str = "jax"  # {"jax", "opencv"}
+    detection_threshold: float = 0.0066667  # COLMAP peak threshold
+    edge_threshold: float = 10.0
+    first_octave: int = -1
+    num_octaves: int = 4
+    num_scales_per_octave: int = 3
+    resize: int = 1024
+
+    def replace(self, **kw) -> "SIFTConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,201 @@
+"""Minimal functional NN layer library over plain param pytrees.
+
+Design: parameters are nested dicts of ``jnp.ndarray`` (a JAX pytree), and
+layers are pure functions ``apply(params, x)``. This keeps the whole framework
+transform-friendly (``jit``/``vmap``/``grad``/``shard_map`` all just work on
+pytrees), makes checkpoint conversion a dict-to-dict key mapping, and avoids
+any stateful-module machinery.
+
+Weight layout conventions (chosen for TPU, not torch):
+  * Linear weights are stored ``(in, out)`` so application is ``x @ w`` — the
+    natural MXU layout (reference torch stores ``(out, in)``; the converter in
+    ``weights.py`` transposes).
+  * Convolutions are NHWC with HWIO kernels — XLA:TPU's preferred layout; the
+    channel dim lands on the 128-wide lane dimension.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match torch defaults so random-init behaves comparably;
+# parity tests copy exact weights from the reference anyway).
+# ---------------------------------------------------------------------------
+
+
+def _fan_in_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def linear_init(
+    key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.float32
+) -> Params:
+    kw, kb = jax.random.split(key)
+    # kaiming-uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)) scaled
+    # by sqrt(3)*gain; torch's default reduces to U(+-sqrt(1/fan_in)*sqrt(3)*
+    # sqrt(2/(1+5)) ) = U(+-1/sqrt(fan_in)).
+    p = {"w": _fan_in_uniform(kw, (in_dim, out_dim), in_dim, dtype)}
+    if bias:
+        p["b"] = _fan_in_uniform(kb, (out_dim,), in_dim, dtype)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm_init(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    # fp32 statistics regardless of compute dtype (bf16-safe)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv2d_init(
+    key,
+    in_ch: int,
+    out_ch: int,
+    kernel: int | Tuple[int, int],
+    bias: bool = True,
+    groups: int = 1,
+    dtype=jnp.float32,
+) -> Params:
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    kw, kb = jax.random.split(key)
+    fan_in = (in_ch // groups) * kernel[0] * kernel[1]
+    p = {
+        "w": _fan_in_uniform(
+            kw, (kernel[0], kernel[1], in_ch // groups, out_ch), fan_in, dtype
+        )
+    }
+    if bias:
+        p["b"] = _fan_in_uniform(kb, (out_ch,), fan_in, dtype)
+    return p
+
+
+def conv2d(
+    p: Params,
+    x: jnp.ndarray,
+    stride: int | Tuple[int, int] = 1,
+    padding: str | int | Sequence[Tuple[int, int]] = "SAME",
+    groups: int = 1,
+    dilation: int | Tuple[int, int] = 1,
+) -> jnp.ndarray:
+    """NHWC conv with HWIO kernel."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: Optional[int] = None) -> jnp.ndarray:
+    """NHWC max pooling (VALID), matching torch's MaxPool2d(k, s) semantics."""
+    stride = stride or window
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+
+
+def max_pool_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Max pool with kernel (2r+1), stride 1, SAME padding — the NMS dilation
+    primitive (reference: lightglue/superpoint.py:56-59)."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, k, k, 1) if x.ndim == 4 else (k, k),
+        (1, 1, 1, 1) if x.ndim == 4 else (1, 1),
+        "SAME",
+    )
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm2d(affine=False) over NHWC: normalize per (batch, channel)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def batch_norm_init(dim: int, dtype=jnp.float32) -> Params:
+    return {
+        "scale": jnp.ones((dim,), dtype),
+        "bias": jnp.zeros((dim,), dtype),
+        "mean": jnp.zeros((dim,), dtype),
+        "var": jnp.ones((dim,), dtype),
+    }
+
+
+def batch_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode batch norm (running stats) over the trailing channel dim."""
+    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+    scale = (p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+    bias = (
+        p["bias"].astype(jnp.float32) - p["mean"].astype(jnp.float32) * p["scale"].astype(jnp.float32) * inv
+    ).astype(x.dtype)
+    return x * scale + bias
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # torch nn.GELU default is the exact erf formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """Matches torch F.normalize(p=2): x / max(||x||, eps)."""
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+def stack_params(params_list) -> Params:
+    """Stack a list of identically-structured param trees along a new leading
+    axis — the layout used to scan/index transformer layers under
+    ``lax.scan``/``lax.while_loop`` without Python-level layer lists."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *params_list)
+
+
+def index_params(p: Params, i) -> Params:
+    """Select layer ``i`` from stacked params (dynamic index OK under jit)."""
+    return jax.tree_util.tree_map(lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False), p)

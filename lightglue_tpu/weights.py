@@ -1,0 +1,173 @@
+"""Checkpoint conversion and native persistence.
+
+The reference downloads versioned torch ``.pth`` state dicts
+(lightglue/lightglue.py:348-349, 415-434; superpoint.py:144-145). Here we
+convert those state dicts (as ``{key: np.ndarray}``, no torch dependency in
+the library) into this framework's param pytrees:
+
+* Linear weights transpose from torch ``(out, in)`` to MXU-friendly
+  ``(in, out)``; conv kernels permute OIHW -> HWIO.
+* The per-layer module lists (``transformers.{i}...``) stack into a single
+  leading layer axis (see models/lightglue.py) so the layer loop can be a
+  ``lax.scan``.
+
+Native save/load uses a flat ``.npz`` with ``/``-joined keys — dependency-free
+and mmap-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from .configs import LightGlueConfig
+
+
+def _lin(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    p = {"w": jnp.asarray(np.asarray(sd[prefix + ".weight"]).T)}
+    if prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(sd[prefix + ".bias"])
+    return p
+
+
+def _ln(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    return {
+        "scale": jnp.asarray(sd[prefix + ".weight"]),
+        "bias": jnp.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _conv(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    # torch OIHW -> HWIO
+    p = {"w": jnp.asarray(np.transpose(np.asarray(sd[prefix + ".weight"]), (2, 3, 1, 0)))}
+    if prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(sd[prefix + ".bias"])
+    return p
+
+
+def _bn(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    return {
+        "scale": jnp.asarray(sd[prefix + ".weight"]),
+        "bias": jnp.asarray(sd[prefix + ".bias"]),
+        "mean": jnp.asarray(sd[prefix + ".running_mean"]),
+        "var": jnp.asarray(sd[prefix + ".running_var"]),
+    }
+
+
+def _ffn(sd, prefix: str) -> dict:
+    return {
+        "lin1": _lin(sd, prefix + ".0"),
+        "ln": _ln(sd, prefix + ".1"),
+        "lin2": _lin(sd, prefix + ".3"),
+    }
+
+
+def _stack(trees):
+    return jtu.tree_map(lambda *xs: jnp.stack(xs, 0), *trees)
+
+
+def upgrade_legacy_keys(sd: Dict[str, np.ndarray], n_layers: int) -> Dict[str, np.ndarray]:
+    """Old checkpoints use ``self_attn.{i}`` / ``cross_attn.{i}`` naming
+    (reference migration: lightglue.py:427-434)."""
+    out = dict(sd)
+    for i in range(n_layers):
+        for old, new in (
+            (f"self_attn.{i}", f"transformers.{i}.self_attn"),
+            (f"cross_attn.{i}", f"transformers.{i}.cross_attn"),
+        ):
+            out = {k.replace(old, new): v for k, v in out.items()}
+    return out
+
+
+def convert_lightglue(
+    sd: Dict[str, np.ndarray], conf: Optional[LightGlueConfig] = None
+) -> dict:
+    """Convert a reference LightGlue state dict to this framework's pytree."""
+    conf = conf or LightGlueConfig()
+    sd = upgrade_legacy_keys(sd, conf.n_layers)
+    params = {}
+    if "input_proj.weight" in sd:
+        params["input_proj"] = _lin(sd, "input_proj")
+    params["posenc"] = {"Wr": _lin(sd, "posenc.Wr")}
+    params["transformers"] = _stack(
+        [
+            {
+                "self_attn": {
+                    "Wqkv": _lin(sd, f"transformers.{i}.self_attn.Wqkv"),
+                    "out_proj": _lin(sd, f"transformers.{i}.self_attn.out_proj"),
+                    "ffn": _ffn(sd, f"transformers.{i}.self_attn.ffn"),
+                },
+                "cross_attn": {
+                    "to_qk": _lin(sd, f"transformers.{i}.cross_attn.to_qk"),
+                    "to_v": _lin(sd, f"transformers.{i}.cross_attn.to_v"),
+                    "to_out": _lin(sd, f"transformers.{i}.cross_attn.to_out"),
+                    "ffn": _ffn(sd, f"transformers.{i}.cross_attn.ffn"),
+                },
+            }
+            for i in range(conf.n_layers)
+        ]
+    )
+    params["log_assignment"] = _stack(
+        [
+            {
+                "matchability": _lin(sd, f"log_assignment.{i}.matchability"),
+                "final_proj": _lin(sd, f"log_assignment.{i}.final_proj"),
+            }
+            for i in range(conf.n_layers)
+        ]
+    )
+    params["token_confidence"] = _stack(
+        [
+            {"token": _lin(sd, f"token_confidence.{i}.token.0")}
+            for i in range(conf.n_layers - 1)
+        ]
+    )
+    return params
+
+
+def convert_superpoint(sd: Dict[str, np.ndarray]) -> dict:
+    """Convert the reference SuperPoint state dict (superpoint.py:121-145)."""
+    names = [
+        "conv1a", "conv1b", "conv2a", "conv2b",
+        "conv3a", "conv3b", "conv4a", "conv4b",
+        "convPa", "convPb", "convDa", "convDb",
+    ]
+    return {n: _conv(sd, n) for n in names}
+
+
+# ---------------------------------------------------------------------------
+# Native persistence: flat npz of the pytree
+# ---------------------------------------------------------------------------
+
+
+def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def save_params(path: str, params: dict) -> None:
+    np.savez(path, **flatten_tree(params))
+
+
+def load_params(path: str) -> dict:
+    with np.load(path) as f:
+        return unflatten_tree({k: f[k] for k in f.files})

@@ -1,0 +1,23 @@
+"""Test env: force CPU with 8 virtual devices so sharding/multi-chip paths are
+testable without TPU hardware (SURVEY.md §4 device-free testing)."""
+
+import os
+import sys
+
+# Must happen before jax is imported anywhere. Forced (not setdefault):
+# the session environment pins JAX_PLATFORMS to the TPU plugin, but unit
+# tests must run hermetically on host CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# Exact fp32 matmuls for golden-parity comparisons.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,190 @@
+"""Unit parity tests for matcher math primitives vs the torch reference
+(run with identical random inputs; reference loaded from /root/reference)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lightglue_tpu.ops import assignment as asg
+from lightglue_tpu.ops import attention as attn_ops
+from lightglue_tpu.ops import keypoints as kp_ops
+from lightglue_tpu.ops import rotary
+
+from ref_loader import load_ref_module
+
+torch = pytest.importorskip("torch")
+ref_lg = load_ref_module("lightglue")
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+def test_normalize_keypoints_with_size():
+    rng = np.random.default_rng(0)
+    kpts = rng.uniform(0, 1000, (2, 50, 2)).astype(np.float32)
+    size = np.array([[1024, 768], [640, 480]], np.float32)
+    ref = t2n(ref_lg.normalize_keypoints(torch.from_numpy(kpts), torch.from_numpy(size)))
+    got = np.asarray(kp_ops.normalize_keypoints(jnp.asarray(kpts), jnp.asarray(size)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_normalize_keypoints_no_size():
+    rng = np.random.default_rng(1)
+    kpts = rng.uniform(0, 500, (3, 32, 2)).astype(np.float32)
+    ref = t2n(ref_lg.normalize_keypoints(torch.from_numpy(kpts), None))
+    got = np.asarray(kp_ops.normalize_keypoints(jnp.asarray(kpts), None))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_normalize_keypoints_masked_matches_unpadded():
+    rng = np.random.default_rng(2)
+    kpts = rng.uniform(0, 500, (1, 20, 2)).astype(np.float32)
+    unpadded = np.asarray(kp_ops.normalize_keypoints(jnp.asarray(kpts), None))
+    padded = np.concatenate([kpts, np.full((1, 12, 2), 777.0, np.float32)], 1)
+    mask = np.arange(32)[None] < 20
+    got = np.asarray(
+        kp_ops.normalize_keypoints(jnp.asarray(padded), None, jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(got[:, :20], unpadded, atol=1e-6)
+
+
+def test_rotate_half_and_rotary_apply():
+    rng = np.random.default_rng(3)
+    t = rng.standard_normal((2, 4, 16, 64)).astype(np.float32)
+    ref = t2n(ref_lg.rotate_half(torch.from_numpy(t)))
+    got = np.asarray(rotary.rotate_half(jnp.asarray(t)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    freqs = rng.standard_normal((2, 2, 1, 16, 64)).astype(np.float32)
+    ref = t2n(
+        ref_lg.apply_cached_rotary_emb(torch.from_numpy(freqs), torch.from_numpy(t))
+    )
+    got = np.asarray(rotary.apply_rotary(jnp.asarray(freqs), jnp.asarray(t)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_fourier_posenc():
+    rng = np.random.default_rng(4)
+    torch.manual_seed(0)
+    ref_pe = ref_lg.LearnableFourierPositionalEncoding(2, 64, 64)
+    kpts = rng.uniform(-1, 1, (2, 30, 2)).astype(np.float32)
+    ref = t2n(ref_pe(torch.from_numpy(kpts)))
+    params = {"Wr": {"w": jnp.asarray(t2n(ref_pe.Wr.weight).T)}}
+    got = np.asarray(rotary.fourier_posenc(params, jnp.asarray(kpts)))
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_sigmoid_log_double_softmax():
+    rng = np.random.default_rng(5)
+    sim = rng.standard_normal((2, 20, 30)).astype(np.float32)
+    z0 = rng.standard_normal((2, 20, 1)).astype(np.float32)
+    z1 = rng.standard_normal((2, 30, 1)).astype(np.float32)
+    ref = t2n(
+        ref_lg.sigmoid_log_double_softmax(
+            torch.from_numpy(sim), torch.from_numpy(z0), torch.from_numpy(z1)
+        )
+    )
+    got = np.asarray(
+        asg.sigmoid_log_double_softmax(jnp.asarray(sim), jnp.asarray(z0), jnp.asarray(z1))
+    )
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_sigmoid_log_double_softmax_masked_matches_unpadded():
+    rng = np.random.default_rng(6)
+    m, n, mp, np_ = 12, 17, 16, 24
+    sim = rng.standard_normal((1, mp, np_)).astype(np.float32)
+    z0 = rng.standard_normal((1, mp, 1)).astype(np.float32)
+    z1 = rng.standard_normal((1, np_, 1)).astype(np.float32)
+    mask0 = np.arange(mp)[None] < m
+    mask1 = np.arange(np_)[None] < n
+    got = np.asarray(
+        asg.sigmoid_log_double_softmax(
+            jnp.asarray(sim), jnp.asarray(z0), jnp.asarray(z1),
+            jnp.asarray(mask0), jnp.asarray(mask1),
+        )
+    )
+    ref = t2n(
+        ref_lg.sigmoid_log_double_softmax(
+            torch.from_numpy(sim[:, :m, :n]),
+            torch.from_numpy(z0[:, :m]),
+            torch.from_numpy(z1[:, :n]),
+        )
+    )
+    np.testing.assert_allclose(got[:, :m, :n], ref[:, :m, :n], atol=5e-4)
+    # dustbin row/col for valid entries
+    np.testing.assert_allclose(got[:, :m, -1], ref[:, :m, -1], atol=5e-4)
+    np.testing.assert_allclose(got[:, -1, :n], ref[:, -1, :n], atol=5e-4)
+
+
+def test_filter_matches():
+    rng = np.random.default_rng(7)
+    scores = rng.standard_normal((3, 21, 31)).astype(np.float32) * 2 - 3.0
+    ref_m0, ref_m1, ref_s0, ref_s1 = ref_lg.filter_matches(
+        torch.from_numpy(scores), 0.1
+    )
+    m0, m1, s0, s1 = asg.filter_matches(jnp.asarray(scores), 0.1)
+    np.testing.assert_array_equal(np.asarray(m0), t2n(ref_m0))
+    np.testing.assert_array_equal(np.asarray(m1), t2n(ref_m1))
+    np.testing.assert_allclose(np.asarray(s0), t2n(ref_s0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), t2n(ref_s1), atol=1e-6)
+
+
+def test_sdpa_vs_torch():
+    rng = np.random.default_rng(8)
+    q = rng.standard_normal((2, 4, 16, 64)).astype(np.float32)
+    k = rng.standard_normal((2, 4, 20, 64)).astype(np.float32)
+    v = rng.standard_normal((2, 4, 20, 64)).astype(np.float32)
+    ref = t2n(
+        torch.nn.functional.scaled_dot_product_attention(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+        )
+    )
+    got = np.asarray(attn_ops.sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+    # masked: mask out last 5 keys
+    mask = np.ones((2, 1, 16, 20), bool)
+    mask[..., 15:] = False
+    ref = t2n(
+        torch.nn.functional.scaled_dot_product_attention(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+            attn_mask=torch.from_numpy(mask),
+        )
+    )
+    got = np.asarray(
+        attn_ops.sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_bidirectional_cross_attention():
+    rng = np.random.default_rng(9)
+    qk0 = rng.standard_normal((2, 4, 16, 64)).astype(np.float32)
+    qk1 = rng.standard_normal((2, 4, 20, 64)).astype(np.float32)
+    v0 = rng.standard_normal((2, 4, 16, 64)).astype(np.float32)
+    v1 = rng.standard_normal((2, 4, 20, 64)).astype(np.float32)
+    # reference einsum path (lightglue.py:216-223)
+    tq0, tq1 = torch.from_numpy(qk0), torch.from_numpy(qk1)
+    scale = 64**-0.5
+    sim = torch.einsum("bhid,bhjd->bhij", tq0 * scale**0.5, tq1 * scale**0.5)
+    attn01 = torch.softmax(sim, dim=-1)
+    attn10 = torch.softmax(sim.transpose(-2, -1).contiguous(), dim=-1)
+    ref_m0 = torch.einsum("bhij,bhjd->bhid", attn01, torch.from_numpy(v1))
+    ref_m1 = torch.einsum(
+        "bhji,bhjd->bhid", attn10.transpose(-2, -1), torch.from_numpy(v0)
+    )
+    m0, m1 = attn_ops.bidirectional_cross_attention(
+        jnp.asarray(qk0), jnp.asarray(qk1), jnp.asarray(v0), jnp.asarray(v1)
+    )
+    np.testing.assert_allclose(np.asarray(m0), t2n(ref_m0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1), t2n(ref_m1), atol=1e-5)
+
+
+def test_pad_to_length():
+    x = jnp.ones((1, 10, 4))
+    y, mask = kp_ops.pad_to_length(x, 16)
+    assert y.shape == (1, 16, 4)
+    assert mask.shape == (1, 16, 1)
+    assert np.asarray(mask).sum() == 10
