@@ -1,0 +1,102 @@
+"""Bilinear point sampling (grid_sample replacement) and detection helpers.
+
+The reference relies on ``torch.nn.functional.grid_sample`` (CUDA kernel) for
+descriptor lookup (superpoint.py:78-95, aliked.py) and on boolean
+``torch.where`` thresholding for keypoint extraction (superpoint.py:189),
+which produces dynamic shapes. On TPU both become gather-based, static-shape
+ops: bilinear interpolation is 4 gathers + lerp (XLA fuses this well), and
+detection is a global top-k with a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(
+    fmap: jnp.ndarray, pts: jnp.ndarray, align_corners: bool = True
+) -> jnp.ndarray:
+    """Sample ``fmap`` (B, H, W, C) at normalized points ``pts`` (B, K, 2) in
+    [-1, 1] (x, y) — semantics of grid_sample(mode='bilinear',
+    align_corners=True) with zero padding.
+
+    Returns (B, K, C).
+    """
+    b, h, w, c = fmap.shape
+    x, y = pts[..., 0], pts[..., 1]
+    if align_corners:
+        fx = (x + 1.0) * 0.5 * (w - 1)
+        fy = (y + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = (x + 1.0) * 0.5 * w - 0.5
+        fy = (y + 1.0) * 0.5 * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+
+    def gather(yi, xi):
+        # zero padding outside
+        inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = fmap.reshape(b, h * w, c)
+        idx = yc * w + xc  # (B, K)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return jnp.where(inside[..., None], vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    wx = wx[..., None].astype(fmap.dtype)
+    wy = wy[..., None].astype(fmap.dtype)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
+    """Iterative max-pool NMS over (B, H, W) score maps — exact port of the
+    reference algorithm (superpoint.py:52-68): two suppression rounds."""
+    assert nms_radius >= 0
+    s = scores[..., None]  # (B, H, W, 1)
+
+    def max_pool(x):
+        k = 2 * nms_radius + 1
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1), "SAME"
+        )
+
+    zeros = jnp.zeros_like(s)
+    max_mask = s == max_pool(s)
+    for _ in range(2):
+        supp_mask = max_pool(max_mask.astype(s.dtype)) > 0
+        supp_scores = jnp.where(supp_mask, zeros, s)
+        new_max_mask = supp_scores == max_pool(supp_scores)
+        max_mask = max_mask | (new_max_mask & (~supp_mask))
+    return jnp.where(max_mask, s, zeros)[..., 0]
+
+
+def top_k_keypoints(
+    scores: jnp.ndarray, k: int, threshold: float
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Static-shape keypoint selection replacing the reference's dynamic
+    ``torch.where(scores > threshold)`` + per-image top-k
+    (superpoint.py:188-207).
+
+    scores: (B, H, W). Returns (keypoints (B, k, 2) as (x, y) fp32,
+    kscores (B, k), valid (B, k) bool). Invalid slots have score<=threshold
+    (they hold whatever sorted below the cut — callers must respect ``valid``).
+    """
+    b, h, w = scores.shape
+    flat = scores.reshape(b, h * w)
+    kscores, idx = jax.lax.top_k(flat, k)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    kpts = jnp.stack([xs, ys], axis=-1)
+    valid = kscores > threshold
+    return kpts, kscores, valid

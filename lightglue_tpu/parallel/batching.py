@@ -1,0 +1,147 @@
+"""Batched, bucketed, and multi-chip matching.
+
+Throughput layer (SURVEY.md §7 step 7): many image pairs matched per device
+program. Generalizes the reference's ``pad_to_length`` static buckets
+(lightglue.py:46-55, 437-454): pairs are padded to a common bucket length
+host-side, stacked on a leading batch axis, and the batch axis is sharded
+across a device mesh (data parallelism over ICI). Parameters are replicated;
+no collectives are needed in the forward path, so scaling is linear in chips.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import nn
+from ..configs import LightGlueConfig
+from ..models import lightglue as lg
+
+DEFAULT_BUCKETS = (256, 512, 768, 1024, 1280, 1536, 2048, 4096)
+
+
+def next_bucket(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    """Smallest bucket >= n (reference static_lengths selection,
+    lightglue.py:514-516)."""
+    for b in buckets:
+        if b >= n:
+            return b
+    return n
+
+
+def pad_features_to_bucket(
+    feats: List[Dict[str, np.ndarray]],
+    bucket: Optional[int] = None,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+) -> Dict[str, np.ndarray]:
+    """Stack per-pair feature dicts (unbatched arrays: keypoints (K_i, 2),
+    descriptors (K_i, D), ...) into one batch padded to a common bucket.
+
+    Returns dict with keypoints (B, K, 2), descriptors (B, K, D),
+    valid (B, K), image_size (B, 2) [if present], scales/oris if present.
+    """
+    kmax = max(f["keypoints"].shape[0] for f in feats)
+    k = bucket or next_bucket(kmax, buckets)
+    out: Dict[str, List[np.ndarray]] = {}
+    for f in feats:
+        n = f["keypoints"].shape[0]
+        pad = k - n
+        valid = f.get("valid")
+        if valid is None:
+            valid = np.ones((n,), bool)
+        out.setdefault("valid", []).append(
+            np.pad(valid, (0, pad), constant_values=False)
+        )
+        for key in ("keypoints", "descriptors", "keypoint_scores", "scales", "oris"):
+            if key in f:
+                arr = f[key]
+                widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+                out.setdefault(key, []).append(
+                    np.pad(arr, widths, constant_values=1.0)
+                )
+        if "image_size" in f:
+            out.setdefault("image_size", []).append(np.asarray(f["image_size"]))
+    return {key: np.stack(v, 0) for key, v in out.items()}
+
+
+def make_batched_matcher(
+    conf: LightGlueConfig,
+    mesh: Optional[Mesh] = None,
+    donate: bool = False,
+):
+    """Build a jitted batched matching function.
+
+    With a mesh, inputs are sharded on the batch axis and params replicated —
+    pure data parallelism across chips; XLA inserts no collectives (adaptive
+    early-stop sums confidences globally, which introduces one small psum).
+    """
+    in_shardings = None
+    if mesh is not None:
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+
+    def fwd(params, kpts0, kpts1, desc0, desc1, mask0, mask1, size0, size1,
+            scales0=None, oris0=None, scales1=None, oris1=None):
+        return lg.forward(
+            params, conf,
+            kpts0=kpts0, kpts1=kpts1, desc0=desc0, desc1=desc1,
+            size0=size0, size1=size1, mask0=mask0, mask1=mask1,
+            scales0=scales0, oris0=oris0, scales1=scales1, oris1=oris1,
+        )
+
+    if mesh is None:
+        return jax.jit(fwd)
+
+    def shard_args(params, *args):
+        params = jax.device_put(params, repl)
+        args = tuple(
+            None if a is None else jax.device_put(a, data) for a in args
+        )
+        return params, args
+
+    jitted = jax.jit(fwd)
+
+    def run(params, *args, **kw):
+        ordered = [
+            kw.pop(k, None)
+            for k in ("scales0", "oris0", "scales1", "oris1")
+        ]
+        params, all_args = shard_args(params, *args, *ordered)
+        return jitted(params, *all_args)
+
+    return run
+
+
+def match_feature_batch(
+    params: nn.Params,
+    conf: LightGlueConfig,
+    feats0: Dict[str, np.ndarray],
+    feats1: Dict[str, np.ndarray],
+    mesh: Optional[Mesh] = None,
+) -> lg.MatchOutput:
+    """Match two stacked+padded feature batches (from
+    ``pad_features_to_bucket``)."""
+    matcher = make_batched_matcher(conf, mesh)
+    def g(f, k):
+        v = f.get(k)
+        return None if v is None else jnp.asarray(v)
+    args = (
+        jnp.asarray(feats0["keypoints"]), jnp.asarray(feats1["keypoints"]),
+        jnp.asarray(feats0["descriptors"]), jnp.asarray(feats1["descriptors"]),
+        jnp.asarray(feats0["valid"]), jnp.asarray(feats1["valid"]),
+        g(feats0, "image_size"), g(feats1, "image_size"),
+    )
+    kw = {}
+    if conf.add_scale_ori:
+        kw = dict(
+            scales0=g(feats0, "scales"), oris0=g(feats0, "oris"),
+            scales1=g(feats1, "scales"), oris1=g(feats1, "oris"),
+        )
+    if mesh is None:
+        return matcher(params, *args, **{k: kw.get(k) for k in
+                       ("scales0", "oris0", "scales1", "oris1")})
+    return matcher(params, *args, **kw)

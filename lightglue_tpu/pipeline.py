@@ -1,0 +1,202 @@
+"""User-facing pipeline API mirroring the reference's ergonomics.
+
+``SuperPoint(...).extract(image)`` -> feats dict; ``LightGlue(...)`` callable
+on ``{"image0": feats0, "image1": feats1}``; ``match_pair`` end-to-end
+(reference: lightglue/utils.py:131-165). Under the hood everything is the
+pure-functional, static-shape JAX core; these wrappers only manage params,
+jit caches, preprocessing and host-side match compaction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import weights as weights_lib
+from .configs import (
+    FEATURES,
+    LightGlueConfig,
+    PreprocessConfig,
+    SuperPointConfig,
+    lightglue_config,
+)
+from .models import lightglue as lg
+from .models import superpoint as sp
+from .utils.image import ImagePreprocessor, numpy_image_to_array, pad_to_multiple
+
+
+def rbd(data: dict) -> dict:
+    """Remove batch dimension (reference: utils.py:64-69)."""
+    return {
+        k: v[0] if isinstance(v, (np.ndarray, jnp.ndarray, list)) else v
+        for k, v in data.items()
+    }
+
+
+def compact_matches(
+    matches0: np.ndarray, mscores0: np.ndarray
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Host-side ragged match lists from static-shape outputs (reference
+    builds these on device with dynamic shapes, lightglue.py:593-602)."""
+    matches, scores = [], []
+    for b in range(matches0.shape[0]):
+        m0 = matches0[b]
+        valid = m0 > -1
+        idx0 = np.nonzero(valid)[0]
+        matches.append(np.stack([idx0, m0[idx0]], -1))
+        scores.append(mscores0[b][idx0])
+    return matches, scores
+
+
+class Extractor:
+    """Base wrapper: preprocessing + jitted forward + coordinate rescale
+    (reference Extractor.extract, utils.py:136-147)."""
+
+    stride = 8  # pad input H/W to this multiple
+
+    def __init__(self):
+        self._jit_forward = jax.jit(
+            self._forward_fn, static_argnames=("conf",)
+        )
+
+    def extract(self, image, **preprocess_overrides) -> Dict[str, np.ndarray]:
+        """image: (H, W, C) or (H, W) numpy/JAX array, float [0,1] or uint8.
+        Returns feats dict with a leading batch dim: keypoints (1, K, 2) in
+        ORIGINAL image pixel coords, keypoint_scores, descriptors, valid,
+        image_size (1, 2) = original (w, h)."""
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = numpy_image_to_array(img)
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.ndim == 4:
+            if img.shape[0] != 1:
+                raise ValueError("extract() takes a single unbatched image")
+            img = img[0]
+        orig_h, orig_w = img.shape[:2]
+        pp = ImagePreprocessor(self.preprocess_conf, **preprocess_overrides)
+        img, scales = pp(img)
+        img, (vh, vw) = pad_to_multiple(img, self.stride)
+        feats = self._jit_forward(
+            self.params,
+            self.conf,
+            jnp.asarray(img)[None],
+            jnp.asarray([[vw, vh]], jnp.float32),
+        )
+        kpts = np.asarray(feats.keypoints)
+        kpts = (kpts + 0.5) / scales[None, None] - 0.5
+        out = {
+            "keypoints": kpts.astype(np.float32),
+            "keypoint_scores": np.asarray(feats.keypoint_scores),
+            "descriptors": np.asarray(feats.descriptors),
+            "valid": np.asarray(feats.valid),
+            "image_size": np.array([[orig_w, orig_h]], np.float32),
+        }
+        if feats.scales is not None:
+            out["scales"] = np.asarray(feats.scales)
+        if feats.oris is not None:
+            out["oris"] = np.asarray(feats.oris)
+        return out
+
+
+class SuperPoint(Extractor):
+    """SuperPoint wrapper (reference superpoint.py:98-148)."""
+
+    def __init__(
+        self,
+        params=None,
+        conf: Optional[SuperPointConfig] = None,
+        seed: int = 0,
+        **conf_overrides,
+    ):
+        self.conf = (conf or SuperPointConfig()).replace(**conf_overrides)
+        self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        if params is None:
+            params = sp.init_params(jax.random.key(seed), self.conf)
+        elif isinstance(params, (str,)):
+            params = weights_lib.load_params(params)
+        self.params = params
+        self._forward_fn = sp.forward
+        super().__init__()
+
+
+class LightGlue:
+    """Matcher wrapper (reference LightGlue.forward dict API,
+    lightglue.py:456-479)."""
+
+    def __init__(
+        self,
+        features: Optional[str] = "superpoint",
+        params=None,
+        conf: Optional[LightGlueConfig] = None,
+        seed: int = 0,
+        **conf_overrides,
+    ):
+        self.conf = conf or lightglue_config(features, **conf_overrides)
+        if params is None:
+            params = lg.init_params(jax.random.key(seed), self.conf)
+        elif isinstance(params, str):
+            params = weights_lib.load_params(params)
+        self.params = params
+        self._jit_forward = jax.jit(lg.forward, static_argnames=("conf",))
+
+    def __call__(self, data: dict) -> dict:
+        for key in ("image0", "image1"):
+            assert key in data, f"Missing key {key} in data"
+        d0, d1 = data["image0"], data["image1"]
+
+        def get(d, k):
+            v = d.get(k)
+            return None if v is None else jnp.asarray(v)
+
+        kw = dict(
+            kpts0=jnp.asarray(d0["keypoints"]),
+            kpts1=jnp.asarray(d1["keypoints"]),
+            desc0=jnp.asarray(d0["descriptors"]),
+            desc1=jnp.asarray(d1["descriptors"]),
+            size0=get(d0, "image_size"),
+            size1=get(d1, "image_size"),
+            mask0=get(d0, "valid"),
+            mask1=get(d1, "valid"),
+        )
+        if self.conf.add_scale_ori:
+            kw.update(
+                scales0=get(d0, "scales"),
+                oris0=get(d0, "oris"),
+                scales1=get(d1, "scales"),
+                oris1=get(d1, "oris"),
+            )
+        out = self._jit_forward(self.params, self.conf, **kw)
+        matches0 = np.asarray(out.matches0)
+        mscores0 = np.asarray(out.matching_scores0)
+        matches, scores = compact_matches(matches0, mscores0)
+        return {
+            "matches0": matches0,
+            "matches1": np.asarray(out.matches1),
+            "matching_scores0": mscores0,
+            "matching_scores1": np.asarray(out.matching_scores1),
+            "stop": int(out.stop),
+            "matches": matches,
+            "scores": scores,
+            "prune0": np.asarray(out.prune0),
+            "prune1": np.asarray(out.prune1),
+        }
+
+
+def match_pair(
+    extractor: Extractor,
+    matcher: LightGlue,
+    image0,
+    image1,
+    **preprocess,
+) -> Tuple[dict, dict, dict]:
+    """Extract and match a pair of images (reference: utils.py:150-165).
+    Returns (feats0, feats1, matches01) with batch dims removed."""
+    feats0 = extractor.extract(image0, **preprocess)
+    feats1 = extractor.extract(image1, **preprocess)
+    matches01 = matcher({"image0": feats0, "image1": feats1})
+    return rbd(feats0), rbd(feats1), rbd(matches01)

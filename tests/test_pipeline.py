@@ -1,0 +1,67 @@
+"""End-to-end pipeline tests on the bundled reference assets (real images)."""
+
+import numpy as np
+import pytest
+
+from lightglue_tpu.pipeline import LightGlue, SuperPoint, match_pair, rbd
+from lightglue_tpu.utils.image import load_image
+
+ASSET0 = "/root/reference/assets/sacre_coeur1.jpg"
+ASSET1 = "/root/reference/assets/sacre_coeur2.jpg"
+
+
+@pytest.fixture(scope="module")
+def pair_result():
+    extractor = SuperPoint(max_num_keypoints=256, resize=320)
+    matcher = LightGlue(
+        "superpoint", depth_confidence=-1.0, width_confidence=-1.0
+    )
+    image0 = load_image(ASSET0)
+    image1 = load_image(ASSET1)
+    feats0, feats1, matches01 = match_pair(extractor, matcher, image0, image1)
+    return image0, image1, feats0, feats1, matches01
+
+
+def test_feats_format(pair_result):
+    image0, _, feats0, _, _ = pair_result
+    assert feats0["keypoints"].shape == (256, 2)
+    assert feats0["descriptors"].shape == (256, 256)
+    assert feats0["keypoint_scores"].shape == (256,)
+    h, w = image0.shape[:2]
+    np.testing.assert_array_equal(feats0["image_size"], [w, h])
+    # keypoints in original pixel coords
+    kp = feats0["keypoints"][feats0["valid"]]
+    assert (kp[:, 0] >= 0).all() and (kp[:, 0] < w).all()
+    assert (kp[:, 1] >= 0).all() and (kp[:, 1] < h).all()
+
+
+def test_match_output_format(pair_result):
+    *_, matches01 = pair_result
+    assert matches01["matches0"].shape == (256,)
+    assert matches01["matches"].ndim == 2 and matches01["matches"].shape[1] == 2
+    assert len(matches01["scores"]) == len(matches01["matches"])
+    assert matches01["stop"] == 9
+    # compact list is consistent with per-point arrays
+    for i, j in matches01["matches"]:
+        assert matches01["matches0"][i] == j
+
+
+def test_adaptive_pipeline_runs():
+    extractor = SuperPoint(max_num_keypoints=128, resize=192)
+    matcher = LightGlue("superpoint")  # default adaptive
+    image0 = load_image(ASSET0)
+    image1 = load_image(ASSET1)
+    _, _, matches01 = match_pair(extractor, matcher, image0, image1)
+    assert 1 <= matches01["stop"] <= 9
+    assert matches01["prune0"].min() >= 1
+
+
+def test_grayscale_and_uint8_inputs():
+    from lightglue_tpu.utils.image import read_image
+
+    extractor = SuperPoint(max_num_keypoints=64, resize=192)
+    img_u8 = read_image(ASSET0)  # uint8 RGB
+    feats_rgb = extractor.extract(img_u8)
+    img_gray = read_image(ASSET0, grayscale=True)  # uint8 (H, W)
+    feats_gray = extractor.extract(img_gray)
+    assert feats_rgb["keypoints"].shape == feats_gray["keypoints"].shape
