@@ -28,8 +28,30 @@ from .. import nn
 from ..configs import LightGlueConfig
 from ..ops import assignment as asg
 from ..ops import attention as attn_ops
+from ..ops import flash as flash_ops
+from ..ops import flash_cross as flash_cross_ops
 from ..ops import rotary
 from ..ops.keypoints import normalize_keypoints
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    """Pallas kernels only lower for real TPU backends (tests run CPU)."""
+    try:
+        d = jax.devices()[0]
+        return "tpu" in (d.platform + d.device_kind).lower()
+    except Exception:
+        return False
+
+
+def _flash_ok(conf: LightGlueConfig, *lengths: int) -> bool:
+    """Use the Pallas path when enabled, on TPU, and shapes are tileable."""
+    return (
+        conf.flash
+        and _on_tpu()
+        and all(n % 128 == 0 for n in lengths)
+        and conf.head_dim in (64, 128)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -135,13 +157,14 @@ def self_block(
     p: nn.Params,
     x: jnp.ndarray,
     encoding: jnp.ndarray,
-    num_heads: int,
+    conf: LightGlueConfig,
     key_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Self-attention block (reference SelfBlock, lightglue.py:159-172).
 
     encoding: (2, B, 1, N, head_dim) rotary cache; key_mask: (B, N) True=valid.
     """
+    num_heads = conf.num_heads
     qkv = nn.linear(p["Wqkv"], x)
     b, n, _ = qkv.shape
     d = x.shape[-1]
@@ -150,8 +173,11 @@ def self_block(
     q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
     q = rotary.apply_rotary(encoding, q)
     k = rotary.apply_rotary(encoding, k)
-    mask = key_mask[:, None, None, :] if key_mask is not None else None
-    context = attn_ops.sdpa(q, k, v, mask)
+    if _flash_ok(conf, n):
+        context = flash_ops.flash_sdpa(q, k, v, key_mask)
+    else:
+        mask = key_mask[:, None, None, :] if key_mask is not None else None
+        context = attn_ops.sdpa(q, k, v, mask)
     message = nn.linear(p["out_proj"], _merge_heads(context))
     return x + _ffn(p["ffn"], jnp.concatenate([x, message], axis=-1))
 
@@ -160,20 +186,26 @@ def cross_block(
     p: nn.Params,
     x0: jnp.ndarray,
     x1: jnp.ndarray,
-    num_heads: int,
+    conf: LightGlueConfig,
     mask0: Optional[jnp.ndarray] = None,
     mask1: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shared-QK bidirectional cross attention (reference CrossBlock,
     lightglue.py:201-230). mask0/mask1: (B, M)/(B, N) validity."""
+    num_heads = conf.num_heads
     qk0 = _split_heads(nn.linear(p["to_qk"], x0), num_heads)
     qk1 = _split_heads(nn.linear(p["to_qk"], x1), num_heads)
     v0 = _split_heads(nn.linear(p["to_v"], x0), num_heads)
     v1 = _split_heads(nn.linear(p["to_v"], x1), num_heads)
-    mask = None
-    if mask0 is not None or mask1 is not None:
-        mask = mask0[:, None, :, None] & mask1[:, None, None, :]
-    m0, m1 = attn_ops.bidirectional_cross_attention(qk0, qk1, v0, v1, mask)
+    if _flash_ok(conf, x0.shape[1], x1.shape[1]):
+        m0, m1 = flash_cross_ops.fused_cross_attention(
+            qk0, qk1, v0, v1, mask0, mask1
+        )
+    else:
+        mask = None
+        if mask0 is not None or mask1 is not None:
+            mask = mask0[:, None, :, None] & mask1[:, None, None, :]
+        m0, m1 = attn_ops.bidirectional_cross_attention(qk0, qk1, v0, v1, mask)
     m0 = nn.linear(p["to_out"], _merge_heads(m0))
     m1 = nn.linear(p["to_out"], _merge_heads(m1))
     x0 = x0 + _ffn(p["ffn"], jnp.concatenate([x0, m0], axis=-1))
@@ -187,15 +219,15 @@ def transformer_layer(
     desc1: jnp.ndarray,
     enc0: jnp.ndarray,
     enc1: jnp.ndarray,
-    num_heads: int,
+    conf: LightGlueConfig,
     mask0: Optional[jnp.ndarray] = None,
     mask1: Optional[jnp.ndarray] = None,
 ):
     """One self+self+cross layer (reference TransformerLayer,
     lightglue.py:239-262)."""
-    desc0 = self_block(p["self_attn"], desc0, enc0, num_heads, mask0)
-    desc1 = self_block(p["self_attn"], desc1, enc1, num_heads, mask1)
-    return cross_block(p["cross_attn"], desc0, desc1, num_heads, mask0, mask1)
+    desc0 = self_block(p["self_attn"], desc0, enc0, conf, mask0)
+    desc1 = self_block(p["self_attn"], desc1, enc1, conf, mask1)
+    return cross_block(p["cross_attn"], desc0, desc1, conf, mask0, mask1)
 
 
 def token_confidence(p: nn.Params, desc0, desc1):
@@ -294,7 +326,7 @@ def forward_fixed(
     def body(carry, layer_params):
         d0, d1 = carry
         d0, d1 = transformer_layer(
-            layer_params, d0, d1, enc0, enc1, conf.num_heads, mask0, mask1
+            layer_params, d0, d1, enc0, enc1, conf, mask0, mask1
         )
         return (d0, d1), None
 
@@ -381,7 +413,7 @@ def forward_adaptive(
         i, d0, d1, act0, act1, prune0, prune1, stop = state
         layer = nn.index_params(params["transformers"], i)
         d0, d1 = transformer_layer(
-            layer, d0, d1, enc0, enc1, conf.num_heads, act0, act1
+            layer, d0, d1, enc0, enc1, conf, act0, act1
         )
         is_last = i == conf.n_layers - 1
 

@@ -127,8 +127,8 @@ def test_filter_matches():
     m0, m1, s0, s1 = asg.filter_matches(jnp.asarray(scores), 0.1)
     np.testing.assert_array_equal(np.asarray(m0), t2n(ref_m0))
     np.testing.assert_array_equal(np.asarray(m1), t2n(ref_m1))
-    np.testing.assert_allclose(np.asarray(s0), t2n(ref_s0), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(s1), t2n(ref_s1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s0), t2n(ref_s0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1), t2n(ref_s1), atol=1e-4)
 
 
 def test_sdpa_vs_torch():
