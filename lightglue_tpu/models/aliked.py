@@ -1,0 +1,348 @@
+"""ALIKED detector+descriptor, TPU-native.
+
+Re-design of the reference's vendored ALIKED (lightglue/aliked.py, from
+Shiaoming/ALIKED, BSD-3) in NHWC JAX with static shapes:
+
+* ConvBlock/ResBlock encoder; blocks 3-4 use the gather-based deformable
+  conv (ops/deform.py) instead of torchvision's CUDA op (aliked.py:341).
+* 4-scale aggregation with x2/x8/x32 bilinear upsampling, sigmoid score
+  head, L2-normalized dense feature map (aliked.py:709-740).
+* DKD keypoint detection (aliked.py:94-261): NMS + static top-k (replacing
+  the per-image dynamic threshold loops) + 5x5 soft-argmax sub-pixel
+  refinement with temperature 0.1 + bilinear score lookup.
+* SDDH deformable descriptor head (aliked.py:479-609): 3x3 patch extraction
+  at each keypoint, offset MLP -> n_pos sample positions, bilinear feature
+  sampling, learned aggregation, L2 norm — vectorized over all keypoints
+  (the reference loops per image).
+
+Images must arrive padded to a multiple of 32 (pipeline handles this); the
+true extent travels as ``image_size`` for border suppression, standing in
+for the reference's InputPadder pad/unpad (aliked.py:264-288).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from ..configs import ALIKEDConfig
+from ..ops.deform import deformable_conv_block
+from ..ops.sampling import bilinear_sample, simple_nms
+from .superpoint import Features
+
+# c1, c2, c3, c4, dim, K, M  (reference aliked.py:625-630)
+CFGS = {
+    "aliked-t16": (8, 16, 32, 64, 64, 3, 16),
+    "aliked-n16": (16, 32, 64, 128, 128, 3, 16),
+    "aliked-n16rot": (16, 32, 64, 128, 128, 3, 16),
+    "aliked-n32": (16, 32, 64, 128, 128, 3, 32),
+}
+
+
+def selu(x):
+    return jax.nn.selu(x)
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def _conv_block_init(key, cin, cout):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": nn.conv2d_init(k1, cin, cout, 3, bias=False),
+        "bn1": nn.batch_norm_init(cout),
+        "conv2": nn.conv2d_init(k2, cout, cout, 3, bias=False),
+        "bn2": nn.batch_norm_init(cout),
+    }
+
+
+def _deform_conv_init(key, cin, cout, kernel=3):
+    k1, k2 = jax.random.split(key)
+    return {
+        "offset_conv": nn.conv2d_init(k1, cin, 2 * kernel * kernel, kernel),
+        "regular_conv": nn.conv2d_init(k2, cin, cout, kernel, bias=False),
+    }
+
+
+def _res_block_init(key, cin, cout, deform: bool):
+    k1, k2, k3 = jax.random.split(key, 3)
+    conv_init = _deform_conv_init if deform else (
+        lambda k, i, o: nn.conv2d_init(k, i, o, 3, bias=False)
+    )
+    return {
+        "conv1": conv_init(k1, cin, cout),
+        "bn1": nn.batch_norm_init(cout),
+        "conv2": conv_init(k2, cout, cout),
+        "bn2": nn.batch_norm_init(cout),
+        "downsample": nn.conv2d_init(k3, cin, cout, 1),
+    }
+
+
+def init_params(key, conf: ALIKEDConfig = ALIKEDConfig()) -> nn.Params:
+    c1, c2, c3, c4, dim, K, M = CFGS[conf.model_name]
+    keys = jax.random.split(key, 16)
+    p = {
+        "block1": _conv_block_init(keys[0], 3, c1),
+        "block2": _res_block_init(keys[1], c1, c2, False),
+        "block3": _res_block_init(keys[2], c2, c3, True),
+        "block4": _res_block_init(keys[3], c3, c4, True),
+        "conv1": nn.conv2d_init(keys[4], c1, dim // 4, 1, bias=False),
+        "conv2": nn.conv2d_init(keys[5], c2, dim // 4, 1, bias=False),
+        "conv3": nn.conv2d_init(keys[6], c3, dim // 4, 1, bias=False),
+        "conv4": nn.conv2d_init(keys[7], dim, dim // 4, 1, bias=False),
+        "score_head": {
+            "0": nn.conv2d_init(keys[8], dim, 8, 1, bias=False),
+            "2": nn.conv2d_init(keys[9], 8, 4, 3, bias=False),
+            "4": nn.conv2d_init(keys[10], 4, 4, 3, bias=False),
+            "6": nn.conv2d_init(keys[11], 4, 1, 3, bias=False),
+        },
+        "desc_head": {
+            "offset_conv1": nn.conv2d_init(keys[12], dim, 2 * M, K),
+            "offset_conv2": nn.conv2d_init(keys[13], 2 * M, 2 * M, 1),
+            "sf_conv": nn.conv2d_init(keys[14], dim, dim, 1, bias=False),
+            "agg_weights": jax.random.uniform(keys[15], (M, dim, dim)),
+        },
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _conv_block(p, x):
+    x = selu(nn.batch_norm(p["bn1"], nn.conv2d(p["conv1"], x)))
+    x = selu(nn.batch_norm(p["bn2"], nn.conv2d(p["conv2"], x)))
+    return x
+
+
+def _res_block(p, x, deform: bool):
+    conv = (
+        (lambda q, y: deformable_conv_block(q, y))
+        if deform
+        else (lambda q, y: nn.conv2d(q, y))
+    )
+    out = selu(nn.batch_norm(p["bn1"], conv(p["conv1"], x)))
+    out = nn.batch_norm(p["bn2"], conv(p["conv2"], out))
+    identity = nn.conv2d(p["downsample"], x)
+    return selu(out + identity)
+
+
+def _avg_pool(x, k):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+    ) / (k * k)
+
+
+def _upsample(x, factor):
+    """Bilinear x-factor upsample with align_corners=True (reference
+    nn.Upsample(align_corners=True), aliked.py:659-670)."""
+    b, h, w, c = x.shape
+    nh, nw = h * factor, w * factor
+    ys = jnp.linspace(0.0, h - 1.0, nh)
+    xs = jnp.linspace(0.0, w - 1.0, nw)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def extract_dense_map(
+    params: nn.Params, image: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, H, W, 3) -> (feature_map (B,H,W,dim) L2-normalized,
+    score_map (B,H,W)) (reference aliked.py:709-740). H, W must be
+    multiples of 32."""
+    x1 = _conv_block(params["block1"], image)
+    x2 = _res_block(params["block2"], _avg_pool(x1, 2), False)
+    x3 = _res_block(params["block3"], _avg_pool(x2, 4), True)
+    x4 = _res_block(params["block4"], _avg_pool(x3, 4), True)
+
+    x1 = selu(nn.conv2d(params["conv1"], x1))
+    x2 = selu(nn.conv2d(params["conv2"], x2))
+    x3 = selu(nn.conv2d(params["conv3"], x3))
+    x4 = selu(nn.conv2d(params["conv4"], x4))
+    x1234 = jnp.concatenate(
+        [x1, _upsample(x2, 2), _upsample(x3, 8), _upsample(x4, 32)], axis=-1
+    )
+    sh = params["score_head"]
+    s = selu(nn.conv2d(sh["0"], x1234))
+    s = selu(nn.conv2d(sh["2"], s))
+    s = selu(nn.conv2d(sh["4"], s))
+    s = nn.conv2d(sh["6"], s)
+    score_map = jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
+    feature_map = nn.l2_normalize(x1234, axis=-1)
+    return feature_map, score_map
+
+
+# ---------------------------------------------------------------------------
+# DKD: differentiable keypoint detection (reference aliked.py:94-261)
+# ---------------------------------------------------------------------------
+
+
+def _gather_patches(maps: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray, r: int):
+    """Gather (2r+1)^2 patches from (B, H, W) maps at integer centers
+    (B, K), zero padding outside. Returns (B, K, (2r+1)^2) row-major."""
+    b, h, w = maps.shape
+    ks = 2 * r + 1
+    dy = jnp.repeat(jnp.arange(-r, r + 1), ks)[None, None, :]
+    dx = jnp.tile(jnp.arange(-r, r + 1), ks)[None, None, :]
+    yy = iy[..., None] + dy
+    xx = ix[..., None] + dx
+    inside = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+    idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+    flat = maps.reshape(b, h * w)
+    vals = jnp.take_along_axis(flat, idx.reshape(b, -1), axis=1)
+    vals = vals.reshape(*idx.shape)
+    return jnp.where(inside, vals, 0.0)
+
+
+def dkd_detect(
+    score_map: jnp.ndarray,
+    conf: ALIKEDConfig,
+    image_size: Optional[jnp.ndarray] = None,
+):
+    """Static-k keypoint detection with sub-pixel refinement.
+
+    score_map: (B, H, W). Returns (keypoints_xy (B, K, 2) in PIXELS,
+    kptscores (B, K), valid (B, K)).
+    """
+    b, h, w = score_map.shape
+    r = conf.nms_radius
+    nms = simple_nms(score_map, r)
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    if image_size is not None:
+        tw = image_size[:, 0][:, None, None].astype(jnp.float32)
+        th = image_size[:, 1][:, None, None].astype(jnp.float32)
+    else:
+        tw = jnp.full((b, 1, 1), float(w))
+        th = jnp.full((b, 1, 1), float(h))
+    border = (ys < r) | (ys >= th - r) | (xs < r) | (xs >= tw - r)
+    nms = jnp.where(border, 0.0, nms)
+
+    k = conf.max_num_keypoints
+    kscores, idx = jax.lax.top_k(nms.reshape(b, -1), k)
+    iy = idx // w
+    ix = idx % w
+    valid = kscores > conf.detection_threshold
+
+    # sub-pixel refinement: 5x5 soft-argmax on the raw score map
+    ks = 2 * r + 1
+    patches = _gather_patches(score_map, iy, ix, r)  # (B, K, ks^2)
+    grid_x = jnp.tile(jnp.linspace(-r, r, ks), ks)
+    grid_y = jnp.repeat(jnp.linspace(-r, r, ks), ks)
+    grid = jnp.stack([grid_x, grid_y], axis=-1)  # (ks^2, 2) as (x, y)
+    max_v = jnp.max(patches, axis=-1, keepdims=True)
+    x_exp = jnp.exp((patches - max_v) / 0.1)  # temperature (aliked.py:117)
+    denom = jnp.sum(x_exp, axis=-1, keepdims=True)
+    residual = (x_exp @ grid) / denom  # (B, K, 2)
+
+    kpts = jnp.stack([ix.astype(jnp.float32), iy.astype(jnp.float32)], -1)
+    kpts = kpts + residual
+    # score at refined location (bilinear, align_corners=True on the
+    # normalized [-1,1] grid — reference aliked.py:226-233)
+    wh = jnp.asarray([w - 1, h - 1], jnp.float32)
+    kpts_norm = kpts / wh * 2.0 - 1.0
+    kptscore = bilinear_sample(score_map[..., None], kpts_norm)[..., 0]
+    return kpts, kptscore, valid
+
+
+# ---------------------------------------------------------------------------
+# SDDH: deformable descriptor head (reference aliked.py:479-609)
+# ---------------------------------------------------------------------------
+
+
+def sddh_describe(
+    p: nn.Params,
+    feature_map: jnp.ndarray,
+    keypoints: jnp.ndarray,
+    conf: ALIKEDConfig,
+) -> jnp.ndarray:
+    """feature_map (B, H, W, C); keypoints (B, K, 2) in pixels.
+    Returns (B, K, C) L2-normalized descriptors."""
+    b, h, w, c = feature_map.shape
+    _, _, _, _, dim, K, M = CFGS[conf.model_name]
+    max_offset = max(h, w) / 4.0
+
+    # --- 3x3 patches at integer keypoint corners (reference: keypoints are
+    # truncated to ints first, then corner = (ikpt - ps/2 + 1).long(),
+    # clamped — aliked.py:48-54, 551)
+    ps = K
+    ikx = keypoints[..., 0].astype(jnp.int32)
+    iky = keypoints[..., 1].astype(jnp.int32)
+    cx = jnp.clip(
+        (ikx.astype(jnp.float32) - ps / 2 + 1).astype(jnp.int32), 0, w - 1 - ps
+    )
+    cy = jnp.clip(
+        (iky.astype(jnp.float32) - ps / 2 + 1).astype(jnp.int32), 0, h - 1 - ps
+    )
+    dy = jnp.repeat(jnp.arange(ps), ps)[None, None, :]
+    dx = jnp.tile(jnp.arange(ps), ps)[None, None, :]
+    yy = cy[..., None] + dy  # (B, Kp, ps^2)
+    xx = cx[..., None] + dx
+    idx = yy * w + xx
+    flat = feature_map.reshape(b, h * w, c)
+    patches = jnp.take_along_axis(
+        flat, idx.reshape(b, -1)[..., None], axis=1
+    ).reshape(b, keypoints.shape[1], ps * ps, c)  # (B, Kp, ps^2, C)
+
+    # --- offset MLP: KxK conv VALID over the patch == tensordot
+    w1 = p["offset_conv1"]["w"]  # (K, K, C, 2M) HWIO
+    w1 = w1.reshape(ps * ps * c, -1)
+    x = patches.reshape(b, -1, ps * ps * c) @ w1 + p["offset_conv1"]["b"]
+    x = selu(x)
+    x = x @ p["offset_conv2"]["w"].reshape(2 * M, 2 * M) + p["offset_conv2"]["b"]
+    x = jnp.clip(x, -max_offset, max_offset)  # (B, Kp, 2M)
+    # channel layout: first M are x-offsets, next M are y-offsets
+    # (reference view(N, 2, n_pos).permute -> offset[:, p, d], aliked.py:571)
+    off = x.reshape(b, -1, 2, M).transpose(0, 1, 3, 2)  # (B, Kp, M, 2)
+
+    # --- sample features at kpt + offset
+    pos = keypoints[:, :, None, :] + off  # (B, Kp, M, 2) pixel coords
+    wh = jnp.asarray([w - 1, h - 1], jnp.float32)
+    pos_norm = 2.0 * pos / wh - 1.0
+    feats = bilinear_sample(
+        feature_map, pos_norm.reshape(b, -1, 2)
+    ).reshape(b, -1, M, c)  # (B, Kp, M, C)
+
+    # --- sf_conv (1x1, no bias) + selu + learned aggregation
+    feats = feats @ p["sf_conv"]["w"].reshape(c, c)
+    feats = selu(feats)
+    descs = jnp.einsum(
+        "bkpc,pcd->bkd", feats, p["agg_weights"],
+        preferred_element_type=jnp.float32,
+    )
+    return nn.l2_normalize(descs, axis=-1)
+
+
+def forward(
+    params: nn.Params,
+    conf: ALIKEDConfig,
+    image: jnp.ndarray,
+    image_size: Optional[jnp.ndarray] = None,
+) -> Features:
+    """(B, H, W, C) image (H, W multiples of 32) -> static-k Features."""
+    if image.shape[-1] == 1:
+        image = jnp.repeat(image, 3, axis=-1)
+    feature_map, score_map = extract_dense_map(params, image)
+    kpts, kscores, valid = dkd_detect(score_map, conf, image_size)
+    descs = sddh_describe(params["desc_head"], feature_map, kpts, conf)
+    return Features(
+        keypoints=kpts,
+        keypoint_scores=jnp.where(valid, kscores, 0.0),
+        descriptors=jnp.where(valid[..., None], descs, 0.0),
+        valid=valid,
+    )

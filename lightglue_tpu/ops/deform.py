@@ -1,0 +1,124 @@
+"""Deformable convolution (DCNv1/v2) for TPU.
+
+The reference ALIKED wraps ``torchvision.ops.deform_conv2d`` (a CUDA/C++ op,
+reference aliked.py:291-349). On TPU this becomes a gather-based formulation
+XLA handles well: build the per-tap sampling grid, bilinear-sample all kernel
+taps (zero padding outside), and contract patches x weights on the MXU.
+
+Offset channel layout follows torchvision: for kernel tap t (row-major
+ki*kw+kj), channel 2*t is dy and 2*t+1 is dx.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+
+
+def _bilinear_gather(x: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray):
+    """Sample x (B, H, W, C) at float pixel coords fy/fx (B, ...), zero
+    outside. Returns (B, ..., C)."""
+    b, h, w, c = x.shape
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy = (fy - y0)[..., None]
+    wx = (fx - x0)[..., None]
+
+    flat = x.reshape(b, h * w, c)
+
+    def gather(yi, xi):
+        inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        idx = (yc * w + xc).reshape(b, -1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        vals = vals.reshape(*yi.shape, c)
+        return jnp.where(inside[..., None], vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def deform_conv2d(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    padding: int = 1,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Deformable conv, stride 1.
+
+    x: (B, H, W, C); offset: (B, H, W, 2*kh*kw) torchvision layout;
+    weight: (kh, kw, C, Cout) HWIO; mask: (B, H, W, kh*kw) modulation
+    (DCNv2) or None. Output (B, H, W, Cout) (same spatial size, like the
+    reference's padding=1, k=3 usage).
+    """
+    b, h, w, c = x.shape
+    kh, kw = weight.shape[:2]
+    k2 = kh * kw
+    off = offset.reshape(b, h, w, k2, 2)
+    dy, dx = off[..., 0], off[..., 1]
+
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+    ki = jnp.arange(kh, dtype=jnp.float32)
+    kj = jnp.arange(kw, dtype=jnp.float32)
+    tap_y = jnp.repeat(ki, kw)[None, None, None, :]  # row-major taps
+    tap_x = jnp.tile(kj, kh)[None, None, None, :]
+
+    fy = ys - padding + tap_y + dy.astype(jnp.float32)
+    fx = xs - padding + tap_x + dx.astype(jnp.float32)
+
+    patches = _bilinear_gather(x, fy, fx)  # (B, H, W, k2, C)
+    if mask is not None:
+        patches = patches * mask.reshape(b, h, w, k2, 1).astype(patches.dtype)
+    out = jnp.einsum(
+        "bhwkc,kco->bhwo",
+        patches,
+        weight.reshape(k2, c, -1).astype(patches.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def deformable_conv_block(
+    p: nn.Params, x: jnp.ndarray, padding: int = 1, use_mask: bool = False
+) -> jnp.ndarray:
+    """The reference's DeformableConv2d module (aliked.py:291-349):
+    a regular conv predicts offsets (clamped to +-max(h,w)/4), then the
+    deformable conv applies ``regular_conv`` weights at the offset taps.
+
+    params: {"offset_conv": conv params, "regular_conv": conv params}.
+    """
+    h, w = x.shape[1:3]
+    max_offset = max(h, w) / 4.0
+    out = nn.conv2d(p["offset_conv"], x, padding=padding)
+    if use_mask:
+        k2 = out.shape[-1] // 3
+        o1, o2, m = out[..., :k2], out[..., k2:2 * k2], out[..., 2 * k2:]
+        offset = jnp.concatenate([o1, o2], axis=-1)
+        mask = jax.nn.sigmoid(m)
+    else:
+        offset = out
+        mask = None
+    offset = jnp.clip(offset, -max_offset, max_offset)
+    return deform_conv2d(
+        x,
+        offset,
+        p["regular_conv"]["w"],
+        p["regular_conv"].get("b"),
+        padding=padding,
+        mask=mask,
+    )

@@ -19,11 +19,13 @@ import numpy as np
 from . import weights as weights_lib
 from .configs import (
     FEATURES,
+    ALIKEDConfig,
     LightGlueConfig,
     PreprocessConfig,
     SuperPointConfig,
     lightglue_config,
 )
+from .models import aliked as aliked_model
 from .models import lightglue as lg
 from .models import superpoint as sp
 from .utils.image import ImagePreprocessor, numpy_image_to_array, pad_to_multiple
@@ -121,6 +123,29 @@ class SuperPoint(Extractor):
             params = weights_lib.load_params(params)
         self.params = params
         self._forward_fn = sp.forward
+        super().__init__()
+
+
+class ALIKED(Extractor):
+    """ALIKED wrapper (reference aliked.py:612-695)."""
+
+    stride = 32
+
+    def __init__(
+        self,
+        params=None,
+        conf: Optional[ALIKEDConfig] = None,
+        seed: int = 0,
+        **conf_overrides,
+    ):
+        self.conf = (conf or ALIKEDConfig()).replace(**conf_overrides)
+        self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        if params is None:
+            params = aliked_model.init_params(jax.random.key(seed), self.conf)
+        elif isinstance(params, str):
+            params = weights_lib.load_params(params)
+        self.params = params
+        self._forward_fn = aliked_model.forward
         super().__init__()
 
 

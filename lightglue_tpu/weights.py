@@ -171,3 +171,56 @@ def save_params(path: str, params: dict) -> None:
 def load_params(path: str) -> dict:
     with np.load(path) as f:
         return unflatten_tree({k: f[k] for k in f.files})
+
+
+def _deform_conv(sd, prefix: str) -> dict:
+    return {
+        "offset_conv": _conv(sd, prefix + ".offset_conv"),
+        "regular_conv": _conv(sd, prefix + ".regular_conv"),
+    }
+
+
+def _aliked_conv_block(sd, prefix: str) -> dict:
+    return {
+        "conv1": _conv(sd, prefix + ".conv1"),
+        "bn1": _bn(sd, prefix + ".bn1"),
+        "conv2": _conv(sd, prefix + ".conv2"),
+        "bn2": _bn(sd, prefix + ".bn2"),
+    }
+
+
+def _aliked_res_block(sd, prefix: str, deform: bool) -> dict:
+    cv = _deform_conv if deform else _conv
+    return {
+        "conv1": cv(sd, prefix + ".conv1"),
+        "bn1": _bn(sd, prefix + ".bn1"),
+        "conv2": cv(sd, prefix + ".conv2"),
+        "bn2": _bn(sd, prefix + ".bn2"),
+        "downsample": _conv(sd, prefix + ".downsample"),
+    }
+
+
+def convert_aliked(sd: Dict[str, np.ndarray]) -> dict:
+    """Convert the reference ALIKED state dict (lightglue/aliked.py:637-695)."""
+    return {
+        "block1": _aliked_conv_block(sd, "block1"),
+        "block2": _aliked_res_block(sd, "block2", False),
+        "block3": _aliked_res_block(sd, "block3", True),
+        "block4": _aliked_res_block(sd, "block4", True),
+        "conv1": _conv(sd, "conv1"),
+        "conv2": _conv(sd, "conv2"),
+        "conv3": _conv(sd, "conv3"),
+        "conv4": _conv(sd, "conv4"),
+        "score_head": {
+            "0": _conv(sd, "score_head.0"),
+            "2": _conv(sd, "score_head.2"),
+            "4": _conv(sd, "score_head.4"),
+            "6": _conv(sd, "score_head.6"),
+        },
+        "desc_head": {
+            "offset_conv1": _conv(sd, "desc_head.offset_conv.0"),
+            "offset_conv2": _conv(sd, "desc_head.offset_conv.2"),
+            "sf_conv": _conv(sd, "desc_head.sf_conv"),
+            "agg_weights": jnp.asarray(sd["desc_head.agg_weights"]),
+        },
+    }

@@ -65,3 +65,21 @@ def test_grayscale_and_uint8_inputs():
     img_gray = read_image(ASSET0, grayscale=True)  # uint8 (H, W)
     feats_gray = extractor.extract(img_gray)
     assert feats_rgb["keypoints"].shape == feats_gray["keypoints"].shape
+
+
+def test_aliked_pipeline():
+    from lightglue_tpu.pipeline import ALIKED
+
+    extractor = ALIKED(
+        model_name="aliked-t16", max_num_keypoints=128, resize=192,
+        detection_threshold=0.005,
+    )
+    matcher = LightGlue(
+        "aliked", input_dim=64, depth_confidence=-1.0, width_confidence=-1.0
+    )  # t16 descriptors are 64-d
+    image0 = load_image(ASSET0)
+    image1 = load_image(ASSET1)
+    feats0, feats1, matches01 = match_pair(extractor, matcher, image0, image1)
+    assert feats0["keypoints"].shape == (128, 2)
+    assert feats0["descriptors"].shape == (128, 64)  # t16 dim
+    assert matches01["matches0"].shape == (128,)
