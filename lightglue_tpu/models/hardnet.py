@@ -1,0 +1,121 @@
+"""HardNet patch descriptor + LAF-based patch extraction (DoGHardNet path).
+
+The reference computes SIFT keypoints, then describes 32x32 affine-warped
+patches with kornia's HardNet CNN (reference dog_hardnet.py:13-39, via
+``LAFDescriptor(HardNet)`` and ``laf_from_center_scale_ori``). kornia's
+HardNet is the architecture of Mishchuk et al., "Working hard to know your
+neighbor's margins" (NeurIPS 2017): seven 3x3/8x8 conv-BN(affine=False)-ReLU
+stages on 1x32x32 input-normalized patches, output L2-normalized 128-d.
+
+Here: the CNN in NHWC JAX; patch extraction as affine bilinear sampling at
+LAF = scale * R(ori) about the keypoint center (kornia
+``laf_from_center_scale_ori`` semantics with scale = 6 * sift_scale).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+
+
+# conv stages: (in, out, kernel, stride)
+_STAGES = [
+    (1, 32, 3, 1),
+    (32, 32, 3, 1),
+    (32, 64, 3, 2),
+    (64, 64, 3, 1),
+    (64, 128, 3, 2),
+    (128, 128, 3, 1),
+]
+
+
+def init_params(key) -> nn.Params:
+    keys = jax.random.split(key, 8)
+    p = {}
+    for i, (ci, co, ks, _) in enumerate(_STAGES):
+        p[f"conv{i}"] = nn.conv2d_init(keys[i], ci, co, ks, bias=False)
+        p[f"bn{i}"] = nn.batch_norm_init(co)
+    # final 8x8 VALID conv to 128 (kornia HardNet features.21)
+    p["conv6"] = nn.conv2d_init(keys[6], 128, 128, 8, bias=False)
+    p["bn6"] = nn.batch_norm_init(128)
+    return p
+
+
+def _input_norm(patches: jnp.ndarray) -> jnp.ndarray:
+    """Per-patch standardization (kornia HardNet._normalize_input)."""
+    mean = jnp.mean(patches, axis=(1, 2, 3), keepdims=True)
+    std = jnp.std(patches, axis=(1, 2, 3), keepdims=True)
+    return (patches - mean) / (std + 1e-6)
+
+
+def describe_patches(p: nn.Params, patches: jnp.ndarray) -> jnp.ndarray:
+    """patches: (N, 32, 32, 1) -> (N, 128) L2-normalized."""
+    x = _input_norm(patches)
+    for i, (_, _, ks, stride) in enumerate(_STAGES):
+        x = nn.conv2d(p[f"conv{i}"], x, stride=stride, padding=1)
+        x = nn.batch_norm(p[f"bn{i}"], x)
+        x = jax.nn.relu(x)
+    x = nn.conv2d(p["conv6"], x, padding="VALID")  # (N, 1, 1, 128)
+    x = nn.batch_norm(p["bn6"], x)
+    desc = x.reshape(x.shape[0], -1)
+    return nn.l2_normalize(desc, axis=-1)
+
+
+def extract_laf_patches(
+    image: jnp.ndarray,
+    centers: jnp.ndarray,
+    scales: jnp.ndarray,
+    oris: jnp.ndarray,
+    patch_size: int = 32,
+) -> jnp.ndarray:
+    """Affine patch extraction at LAFs (kornia laf_from_center_scale_ori +
+    patch sampling semantics).
+
+    image: (H, W) grayscale; centers (K, 2) pixel (x, y); scales (K) = LAF
+    scale (6 * sift scale in the DoGHardNet pipeline); oris (K) radians.
+    Patch sample grid: x(u,v) = c + (scale/2) * R(ori) @ (u, v) for
+    u, v in linspace(-1, 1, ps). Returns (K, ps, ps, 1).
+    """
+    h, w = image.shape
+    ps = patch_size
+    lin = jnp.linspace(-1.0, 1.0, ps)
+    uu, vv = jnp.meshgrid(lin, lin)  # vv rows (y), uu cols (x)
+    grid = jnp.stack([uu, vv], -1).reshape(-1, 2)  # (ps*ps, 2) as (u, v)
+
+    cos = jnp.cos(oris)
+    sin = jnp.sin(oris)
+    # kornia LAF: [[s*cos, -s*sin], [s*sin, s*cos]] / 2 applied to (u, v)
+    half = scales[:, None, None] / 2.0
+    rot = jnp.stack(
+        [jnp.stack([cos, -sin], -1), jnp.stack([sin, cos], -1)], -2
+    )  # (K, 2, 2)
+    pts = centers[:, None, :] + half * jnp.einsum(
+        "kij,pj->kpi", rot, grid
+    )  # (K, ps*ps, 2) pixel coords (x, y)
+
+    # bilinear sample with border clamp (align_corners grid in pixels)
+    fx = jnp.clip(pts[..., 0], 0.0, w - 1.0)
+    fy = jnp.clip(pts[..., 1], 0.0, h - 1.0)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    flat = image.reshape(-1)
+    def g(yi, xi):
+        return flat[yi * w + xi]
+    v00 = g(y0i, x0i)
+    v01 = g(y0i, x1i)
+    v10 = g(y1i, x0i)
+    v11 = g(y1i, x1i)
+    vals = (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (
+        v10 * (1 - wx) + v11 * wx
+    ) * wy
+    return vals.reshape(-1, ps, ps, 1)

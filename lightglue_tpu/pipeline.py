@@ -25,8 +25,10 @@ from .configs import (
     SuperPointConfig,
     lightglue_config,
 )
+from .configs import SIFTConfig
 from .models import aliked as aliked_model
 from .models import lightglue as lg
+from .models import sift as sift_model
 from .models import superpoint as sp
 from .utils.image import ImagePreprocessor, numpy_image_to_array, pad_to_multiple
 
@@ -147,6 +149,92 @@ class ALIKED(Extractor):
         self.params = params
         self._forward_fn = aliked_model.forward
         super().__init__()
+
+
+class SIFT:
+    """SIFT wrapper (reference sift.py:79-216). Host-side detection
+    (opencv backend) or TPU DoG (jax backend), static-k padded outputs."""
+
+    _apply_rootsift = True
+
+    def __init__(self, conf: Optional[SIFTConfig] = None, **conf_overrides):
+        self.conf = (conf or SIFTConfig()).replace(**conf_overrides)
+        self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+
+    def _detect(self, img_gray: np.ndarray) -> dict:
+        return sift_model.extract_single_image_opencv(img_gray, self.conf)
+
+    def extract(self, image, **preprocess_overrides) -> Dict[str, np.ndarray]:
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = numpy_image_to_array(img)
+        if img.ndim == 4:
+            img = img[0]
+        if img.ndim == 3 and img.shape[-1] == 3:
+            gray = img @ np.array([0.299, 0.587, 0.114], np.float32)
+        elif img.ndim == 3:
+            gray = img[..., 0]
+        else:
+            gray = img
+        orig_h, orig_w = gray.shape
+        pp = ImagePreprocessor(self.preprocess_conf, **preprocess_overrides)
+        gray_r, scales_xy = pp(gray[..., None])
+        gray_r = gray_r[..., 0] if gray_r.ndim == 3 else gray_r
+        pred = self._describe(gray_r, self._detect(gray_r))
+        if self.conf.rootsift and self._apply_rootsift:
+            pred["descriptors"] = sift_model.sift_to_rootsift(
+                pred["descriptors"]
+            )
+        pred = sift_model.pad_features(pred, self.conf.max_num_keypoints)
+        kpts = (pred["keypoints"] + 0.5) / scales_xy[None] - 0.5
+        return {
+            "keypoints": kpts[None].astype(np.float32),
+            "keypoint_scores": pred["keypoint_scores"][None],
+            "descriptors": pred["descriptors"][None],
+            "scales": pred["scales"][None],
+            "oris": pred["oris"][None],
+            "valid": pred["valid"][None],
+            "image_size": np.array([[orig_w, orig_h]], np.float32),
+        }
+
+    def _describe(self, gray: np.ndarray, pred: dict) -> dict:
+        return pred  # opencv already described
+
+
+class DoGHardNet(SIFT):
+    """SIFT keypoints + HardNet descriptors on 32x32 LAF patches
+    (reference dog_hardnet.py:8-41; HardNet replaces the SIFT descriptor, no
+    RootSIFT)."""
+
+    _apply_rootsift = False
+
+    def __init__(self, params=None, seed: int = 0, conf=None, **conf_overrides):
+        super().__init__(conf=conf, **conf_overrides)
+        from .models import hardnet
+
+        if params is None:
+            params = hardnet.init_params(jax.random.key(seed))
+        elif isinstance(params, str):
+            params = weights_lib.load_params(params)
+        self.hardnet_params = params
+        self._jit_describe = jax.jit(hardnet.describe_patches)
+        self._jit_patches = jax.jit(hardnet.extract_laf_patches)
+
+    def _describe(self, gray: np.ndarray, pred: dict) -> dict:
+        k = len(pred["keypoints"])
+        if k == 0:
+            pred["descriptors"] = np.zeros((0, 128), np.float32)
+            return pred
+        patches = self._jit_patches(
+            jnp.asarray(gray),
+            jnp.asarray(pred["keypoints"]),
+            jnp.asarray(6.0 * pred["scales"]),  # reference dog_hardnet.py:35
+            jnp.asarray(pred["oris"]),
+        )
+        pred["descriptors"] = np.asarray(
+            self._jit_describe(self.hardnet_params, patches)
+        )
+        return pred
 
 
 class LightGlue:

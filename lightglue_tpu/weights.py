@@ -224,3 +224,23 @@ def convert_aliked(sd: Dict[str, np.ndarray]) -> dict:
             "agg_weights": jnp.asarray(sd["desc_head.agg_weights"]),
         },
     }
+
+
+def convert_hardnet(sd: Dict[str, np.ndarray]) -> dict:
+    """Convert a kornia/original HardNet state dict (``features.N.*``;
+    BatchNorms are affine=False — running stats only)."""
+    conv_idx = [0, 3, 6, 9, 12, 15, 19]
+    bn_idx = [1, 4, 7, 10, 13, 16, 20]
+    p = {}
+    for i, (ci, bi) in enumerate(zip(conv_idx, bn_idx)):
+        name = f"conv{i}" if i < 6 else "conv6"
+        bname = f"bn{i}" if i < 6 else "bn6"
+        p[name] = _conv(sd, f"features.{ci}")
+        dim = sd[f"features.{bi}.running_mean"].shape[0]
+        p[bname] = {
+            "scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32),
+            "mean": jnp.asarray(sd[f"features.{bi}.running_mean"]),
+            "var": jnp.asarray(sd[f"features.{bi}.running_var"]),
+        }
+    return p

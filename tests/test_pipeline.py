@@ -83,3 +83,37 @@ def test_aliked_pipeline():
     assert feats0["keypoints"].shape == (128, 2)
     assert feats0["descriptors"].shape == (128, 64)  # t16 dim
     assert matches01["matches0"].shape == (128,)
+
+
+def test_sift_pipeline():
+    from lightglue_tpu.pipeline import SIFT
+
+    extractor = SIFT(max_num_keypoints=256, resize=320)
+    matcher = LightGlue("sift", depth_confidence=-1.0, width_confidence=-1.0)
+    image0 = load_image(ASSET0)
+    image1 = load_image(ASSET1)
+    feats0, feats1, matches01 = match_pair(extractor, matcher, image0, image1)
+    assert feats0["keypoints"].shape == (256, 2)
+    assert feats0["descriptors"].shape == (256, 128)
+    assert "scales" in feats0 and "oris" in feats0
+    assert feats0["valid"].sum() > 50  # real image has plenty of DoG points
+    # rootsift: descriptors unit-norm
+    d = feats0["descriptors"][feats0["valid"]]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
+
+
+def test_doghardnet_pipeline():
+    from lightglue_tpu.pipeline import DoGHardNet
+
+    extractor = DoGHardNet(max_num_keypoints=128, resize=256)
+    matcher = LightGlue(
+        "doghardnet", depth_confidence=-1.0, width_confidence=-1.0
+    )
+    image0 = load_image(ASSET0)
+    feats0 = extractor.extract(image0)
+    assert feats0["descriptors"].shape == (1, 128, 128)
+    d = feats0["descriptors"][0][feats0["valid"][0]]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-3)
+    image1 = load_image(ASSET1)
+    _, _, m01 = match_pair(extractor, matcher, image0, image1)
+    assert m01["matches0"].shape == (128,)
