@@ -7,6 +7,17 @@ functional param pytrees, Pallas kernels for the hot paths, and
 """
 
 from . import configs, nn, ops, weights  # noqa: F401
+from .pipeline import (  # noqa: F401
+    ALIKED,
+    DISK,
+    DoGHardNet,
+    LightGlue,
+    SIFT,
+    SuperPoint,
+    match_pair,
+    rbd,
+)
+from .utils.image import load_image, read_image  # noqa: F401
 from .configs import (  # noqa: F401
     ALIKEDConfig,
     DISKConfig,

@@ -1,0 +1,169 @@
+"""DISK detector+descriptor, TPU-native.
+
+The reference delegates to ``kornia.feature.DISK.from_pretrained`` (reference
+disk.py:26), whose network is the thin U-Net of Tyszkiewicz et al., "DISK:
+Learning local features with policy gradient" (NeurIPS 2020): input 3ch,
+down channels [16, 32, 64, 64, 64], up channels [64, 64, 64, desc_dim+1],
+5x5 convolutions in pre-activation blocks (PReLU gate -> InstanceNorm ->
+conv), average-pool downsampling, bilinear upsampling with skip
+concatenation. The U-Net output splits into a 128-d dense descriptor map and
+a 1-ch detection heatmap.
+
+Detection follows kornia's DISK inference: window NMS (local max over a
+(window)^2 neighborhood) + score threshold + top-n; descriptors are sampled
+at the integer keypoint locations and L2-normalized.
+
+NOTE on checkpoints: the converter (weights.convert_disk) targets the kornia
+0.7 state-dict layout (``unet.path_down.{i}...`` naming); it is written from
+the published architecture — validate against a real kornia checkpoint
+before relying on pretrained weights.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from ..configs import DISKConfig
+from .superpoint import Features
+
+DOWN = [16, 32, 64, 64, 64]
+UP = [64, 64, 64]  # + final desc_dim + 1
+
+
+def _prelu_init(ch: int) -> nn.Params:
+    return {"alpha": jnp.full((ch,), 0.25, jnp.float32)}
+
+
+def _prelu(p: nn.Params, x: jnp.ndarray) -> jnp.ndarray:
+    a = p["alpha"].astype(x.dtype)
+    return jnp.where(x >= 0, x, a * x)
+
+
+def _conv_block_init(key, cin, cout, is_first=False):
+    p = {"conv": nn.conv2d_init(key, cin, cout, 5)}
+    if not is_first:
+        p["gate"] = _prelu_init(cin)
+    return p
+
+
+def _conv_block(p, x, is_first=False):
+    if not is_first:
+        x = _prelu(p["gate"], x)
+        x = nn.instance_norm(x)
+    return nn.conv2d(p["conv"], x)
+
+
+def init_params(key, conf: DISKConfig = DISKConfig()) -> nn.Params:
+    keys = jax.random.split(key, 16)
+    down = []
+    cin = 3
+    for i, cout in enumerate(DOWN):
+        down.append(_conv_block_init(keys[i], cin, cout, is_first=(i == 0)))
+        cin = cout
+    up = []
+    ups = UP + [conf.desc_dim + 1]
+    for i, cout in enumerate(ups):
+        # input = upsampled previous + skip connection from down path
+        skip_ch = DOWN[len(DOWN) - 2 - i]
+        up.append(
+            _conv_block_init(keys[8 + i], cin + skip_ch, cout)
+        )
+        cin = cout
+    return {
+        "down": {str(i): p for i, p in enumerate(down)},
+        "up": {str(i): p for i, p in enumerate(up)},
+    }
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+
+
+def _upsample2_bilinear(x):
+    """x2 bilinear upsample, align_corners=False (torch nn.Upsample default
+    used by the thin U-Net's TrivialUpsample)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+def unet_forward(params: nn.Params, image: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, H, W, desc_dim+1). H, W multiples of 16."""
+    feats = []
+    x = image
+    n = len(DOWN)
+    for i in range(n):
+        if i > 0:
+            x = _avg_pool2(x)
+        x = _conv_block(params["down"][str(i)], x, is_first=(i == 0))
+        feats.append(x)
+    y = feats[-1]
+    for i in range(len(UP) + 1):
+        y = _upsample2_bilinear(y)
+        skip = feats[n - 2 - i]
+        y = jnp.concatenate([y, skip], axis=-1)
+        y = _conv_block(params["up"][str(i)], y)
+    return y
+
+
+def heatmap_to_keypoints(
+    heatmap: jnp.ndarray,
+    conf: DISKConfig,
+    image_size: Optional[jnp.ndarray] = None,
+):
+    """Window NMS + threshold + static top-n (kornia disk detector
+    semantics). heatmap: (B, H, W). Returns (kpts (B,K,2) xy, scores, valid).
+    """
+    b, h, w = heatmap.shape
+    win = conf.nms_window_size
+    local_max = jax.lax.reduce_window(
+        heatmap, -jnp.inf, jax.lax.max,
+        (1, win, win), (1, 1, 1), "SAME",
+    )
+    is_max = heatmap == local_max
+    scores = jnp.where(is_max, heatmap, -jnp.inf)
+    if image_size is not None:
+        ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        tw = image_size[:, 0][:, None, None].astype(jnp.float32)
+        th = image_size[:, 1][:, None, None].astype(jnp.float32)
+        scores = jnp.where((ys < th) & (xs < tw), scores, -jnp.inf)
+    k = conf.max_num_keypoints
+    kscores, idx = jax.lax.top_k(scores.reshape(b, -1), k)
+    iy = (idx // w).astype(jnp.float32)
+    ix = (idx % w).astype(jnp.float32)
+    kpts = jnp.stack([ix, iy], axis=-1)
+    valid = kscores > conf.detection_threshold
+    valid &= jnp.isfinite(kscores)
+    return kpts, jnp.where(valid, kscores, 0.0), valid
+
+
+def forward(
+    params: nn.Params,
+    conf: DISKConfig,
+    image: jnp.ndarray,
+    image_size: Optional[jnp.ndarray] = None,
+) -> Features:
+    """(B, H, W, C) -> static-k Features. H, W multiples of 16."""
+    if image.shape[-1] == 1:
+        image = jnp.repeat(image, 3, axis=-1)
+    out = unet_forward(params, image)
+    desc_map = out[..., : conf.desc_dim]
+    heatmap = out[..., conf.desc_dim].astype(jnp.float32)
+    kpts, kscores, valid = heatmap_to_keypoints(heatmap, conf, image_size)
+    b, h, w, _ = desc_map.shape
+    idx = (kpts[..., 1].astype(jnp.int32) * w + kpts[..., 0].astype(jnp.int32))
+    flat = desc_map.reshape(b, h * w, conf.desc_dim)
+    descs = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    descs = nn.l2_normalize(descs, axis=-1)
+    return Features(
+        keypoints=kpts,
+        keypoint_scores=kscores,
+        descriptors=jnp.where(valid[..., None], descs, 0.0),
+        valid=valid,
+    )

@@ -25,8 +25,9 @@ from .configs import (
     SuperPointConfig,
     lightglue_config,
 )
-from .configs import SIFTConfig
+from .configs import DISKConfig, SIFTConfig
 from .models import aliked as aliked_model
+from .models import disk as disk_model
 from .models import lightglue as lg
 from .models import sift as sift_model
 from .models import superpoint as sp
@@ -148,6 +149,29 @@ class ALIKED(Extractor):
             params = weights_lib.load_params(params)
         self.params = params
         self._forward_fn = aliked_model.forward
+        super().__init__()
+
+
+class DISK(Extractor):
+    """DISK wrapper (reference disk.py:7-55)."""
+
+    stride = 16
+
+    def __init__(
+        self,
+        params=None,
+        conf: Optional[DISKConfig] = None,
+        seed: int = 0,
+        **conf_overrides,
+    ):
+        self.conf = (conf or DISKConfig()).replace(**conf_overrides)
+        self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        if params is None:
+            params = disk_model.init_params(jax.random.key(seed), self.conf)
+        elif isinstance(params, str):
+            params = weights_lib.load_params(params)
+        self.params = params
+        self._forward_fn = disk_model.forward
         super().__init__()
 
 

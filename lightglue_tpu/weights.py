@@ -244,3 +244,27 @@ def convert_hardnet(sd: Dict[str, np.ndarray]) -> dict:
             "var": jnp.asarray(sd[f"features.{bi}.running_var"]),
         }
     return p
+
+
+def convert_disk(sd: Dict[str, np.ndarray], desc_dim: int = 128) -> dict:
+    """Best-effort converter for kornia DISK checkpoints
+    (``unet.path_down.{i}`` / ``unet.path_up.{i}`` thin-U-Net naming).
+    Written blind against kornia 0.7 — validate on a real checkpoint."""
+    def blk(prefix, is_first=False):
+        p = {}
+        # kornia ConvBlock is a Sequential: [gate, norm, conv] (or [conv]
+        # when first); the conv is the last indexed child with a weight.
+        conv_keys = [k for k in sd if k.startswith(prefix) and k.endswith(".weight") and sd[k].ndim == 4]
+        conv_keys.sort()
+        ck = conv_keys[-1][: -len(".weight")]
+        p["conv"] = _conv(sd, ck)
+        gate_keys = [k for k in sd if k.startswith(prefix) and "weight" in k and sd[k].ndim == 1]
+        if not is_first and gate_keys:
+            p["gate"] = {"alpha": jnp.asarray(sd[sorted(gate_keys)[0]])}
+        elif not is_first:
+            p["gate"] = {"alpha": jnp.full((sd[ck + ".weight"].shape[1],), 0.25, jnp.float32)}
+        return p
+
+    down = {str(i): blk(f"unet.path_down.{i}.", is_first=(i == 0)) for i in range(5)}
+    up = {str(i): blk(f"unet.path_up.{i}.") for i in range(4)}
+    return {"down": down, "up": up}

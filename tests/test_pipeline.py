@@ -117,3 +117,19 @@ def test_doghardnet_pipeline():
     image1 = load_image(ASSET1)
     _, _, m01 = match_pair(extractor, matcher, image0, image1)
     assert m01["matches0"].shape == (128,)
+
+
+def test_disk_pipeline():
+    from lightglue_tpu.pipeline import DISK
+
+    extractor = DISK(max_num_keypoints=128, resize=192, detection_threshold=0.0)
+    matcher = LightGlue("disk", depth_confidence=-1.0, width_confidence=-1.0)
+    image0 = load_image(ASSET0)
+    image1 = load_image(ASSET1)
+    feats0, feats1, matches01 = match_pair(extractor, matcher, image0, image1)
+    assert feats0["descriptors"].shape == (128, 128)
+    assert matches01["matches0"].shape == (128,)
+    # NMS spacing: valid keypoints at least window//2 apart... at least
+    # assert no duplicate positions
+    kp = feats0["keypoints"][feats0["valid"]]
+    assert len(np.unique(kp, axis=0)) == len(kp)
