@@ -46,15 +46,11 @@ def compact_matches(
     matches0: np.ndarray, mscores0: np.ndarray
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """Host-side ragged match lists from static-shape outputs (reference
-    builds these on device with dynamic shapes, lightglue.py:593-602)."""
-    matches, scores = [], []
-    for b in range(matches0.shape[0]):
-        m0 = matches0[b]
-        valid = m0 > -1
-        idx0 = np.nonzero(valid)[0]
-        matches.append(np.stack([idx0, m0[idx0]], -1))
-        scores.append(mscores0[b][idx0])
-    return matches, scores
+    builds these on device with dynamic shapes, lightglue.py:593-602).
+    Uses the C++ host runtime when available (native.py)."""
+    from . import native
+
+    return native.compact_matches(matches0, mscores0)
 
 
 class Extractor:
@@ -184,9 +180,23 @@ class SIFT:
     def __init__(self, conf: Optional[SIFTConfig] = None, **conf_overrides):
         self.conf = (conf or SIFTConfig()).replace(**conf_overrides)
         self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        self._jit_sift = None
 
     def _detect(self, img_gray: np.ndarray) -> dict:
-        return sift_model.extract_single_image_opencv(img_gray, self.conf)
+        if self.conf.backend == "opencv":
+            return sift_model.extract_single_image_opencv(img_gray, self.conf)
+        if self.conf.backend == "jax":
+            from .models import sift_jax
+
+            if self._jit_sift is None:
+                self._jit_sift = jax.jit(
+                    sift_jax.extract_single, static_argnames=("conf",)
+                )
+            out = self._jit_sift(jnp.asarray(img_gray), self.conf)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            valid = out.pop("valid")
+            return {k: v[valid] for k, v in out.items()}
+        raise ValueError(f"Unknown SIFT backend: {self.conf.backend}")
 
     def extract(self, image, **preprocess_overrides) -> Dict[str, np.ndarray]:
         img = np.asarray(image)
