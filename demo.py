@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""End-to-end demo: extract, match, visualize (reference demo.ipynb flow).
+
+  python demo.py --extractor superpoint --image0 a.jpg --image1 b.jpg \
+      --weights-extractor sp.npz --weights-matcher lg.npz --out matches.png
+
+Without weights, random init is used (pipeline demo only — matches will be
+meaningless until converted checkpoints are supplied; see
+scripts/convert_weights.py).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--extractor", default="superpoint",
+                    choices=["superpoint", "disk", "aliked", "sift",
+                             "doghardnet"])
+    ap.add_argument("--image0",
+                    default="/root/reference/assets/sacre_coeur1.jpg")
+    ap.add_argument("--image1",
+                    default="/root/reference/assets/sacre_coeur2.jpg")
+    ap.add_argument("--max-keypoints", type=int, default=1024)
+    ap.add_argument("--weights-extractor", default=None)
+    ap.add_argument("--weights-matcher", default=None)
+    ap.add_argument("--out", default="matches.png")
+    args = ap.parse_args()
+
+    import matplotlib
+    matplotlib.use("Agg")
+
+    from lightglue_tpu import (
+        ALIKED, DISK, DoGHardNet, LightGlue, SIFT, SuperPoint,
+        load_image, match_pair,
+    )
+    from lightglue_tpu.utils import viz2d
+
+    extractors = {
+        "superpoint": SuperPoint, "disk": DISK, "aliked": ALIKED,
+        "sift": SIFT, "doghardnet": DoGHardNet,
+    }
+    kw = {"max_num_keypoints": args.max_keypoints}
+    if args.weights_extractor:
+        kw["params"] = args.weights_extractor
+    extractor = extractors[args.extractor](**kw)
+    mkw = {}
+    if args.weights_matcher:
+        mkw["params"] = args.weights_matcher
+    matcher = LightGlue(args.extractor, **mkw)
+
+    image0 = load_image(args.image0)
+    image1 = load_image(args.image1)
+    feats0, feats1, matches01 = match_pair(extractor, matcher, image0, image1)
+
+    kpts0, kpts1 = feats0["keypoints"], feats1["keypoints"]
+    matches = matches01["matches"]
+    m_kpts0 = kpts0[matches[:, 0]] if len(matches) else kpts0[:0]
+    m_kpts1 = kpts1[matches[:, 1]] if len(matches) else kpts1[:0]
+
+    viz2d.plot_images([image0, image1])
+    viz2d.plot_matches(m_kpts0, m_kpts1, color="lime", lw=0.2)
+    viz2d.add_text(0, f"stop after {matches01['stop']} layers")
+    viz2d.save_plot(args.out)
+    print(
+        f"{args.extractor}: {int(feats0['valid'].sum())} x "
+        f"{int(feats1['valid'].sum())} keypoints, "
+        f"{len(matches)} matches, stopped at layer {matches01['stop']}; "
+        f"saved {args.out}"
+    )
+
+
+if __name__ == "__main__":
+    main()

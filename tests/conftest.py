@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var in-process; force
+# the CPU backend through the config API before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Exact fp32 matmuls for golden-parity comparisons.
 jax.config.update("jax_default_matmul_precision", "highest")
