@@ -28,7 +28,7 @@ def main():
     from lightglue_tpu.models import lightglue as lg
 
     M = 1024
-    BATCH = 32
+    BATCH = 16  # sweet spot on v5e (larger batches hit VMEM pressure)
     REPS = 8  # chained iterations inside one program
 
     # bf16 compute ("mp"), adaptive on: comparable to the reference's
