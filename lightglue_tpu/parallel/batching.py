@@ -10,6 +10,7 @@ no collectives are needed in the forward path, so scaling is linear in chips.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -68,12 +69,13 @@ def pad_features_to_bucket(
     return {key: np.stack(v, 0) for key, v in out.items()}
 
 
+@functools.lru_cache(maxsize=32)
 def make_batched_matcher(
     conf: LightGlueConfig,
     mesh: Optional[Mesh] = None,
-    donate: bool = False,
 ):
-    """Build a jitted batched matching function.
+    """Build a jitted batched matching function (cached per (conf, mesh) so
+    repeated calls reuse the jit cache instead of re-tracing).
 
     With a mesh, inputs are sharded on the batch axis and params replicated —
     pure data parallelism across chips; XLA inserts no collectives (adaptive
@@ -145,3 +147,83 @@ def match_feature_batch(
         return matcher(params, *args, **{k: kw.get(k) for k in
                        ("scales0", "oris0", "scales1", "oris1")})
     return matcher(params, *args, **kw)
+
+
+class BatchMatcher:
+    """Serving runtime: match many ragged feature pairs with bounded
+    compilation.
+
+    Pairs are grouped by keypoint bucket (generalizing the reference's
+    static_lengths, lightglue.py:437-454); each group is packed into a
+    padded batch (C++ host runtime when available), batch sizes are rounded
+    up to powers of two (dummy pairs padded in) so the jit cache stays
+    small, and results are compacted back per pair in input order.
+    """
+
+    def __init__(
+        self,
+        conf: LightGlueConfig,
+        params: nn.Params,
+        mesh: Optional[Mesh] = None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        max_batch: int = 16,
+    ):
+        self.conf = conf
+        self.params = params
+        self.mesh = mesh
+        self.buckets = tuple(buckets)
+        self.max_batch = max_batch
+        self._matcher = make_batched_matcher(conf, mesh)
+
+    @staticmethod
+    def _round_batch(n: int, max_batch: int) -> int:
+        b = 1
+        while b < n and b < max_batch:
+            b *= 2
+        return b
+
+    def match_pairs(self, pairs):
+        """pairs: list of (feats0, feats1) dicts with unbatched arrays
+        (keypoints (K_i, 2), descriptors, optional valid/image_size/
+        scales/oris). Returns a list of result dicts with matches (K, 2),
+        scores, matches0/1, matching_scores0/1, stop."""
+        from .. import native
+
+        groups = {}
+        for i, (f0, f1) in enumerate(pairs):
+            n = max(f0["keypoints"].shape[0], f1["keypoints"].shape[0])
+            groups.setdefault(next_bucket(n, self.buckets), []).append(i)
+
+        results = [None] * len(pairs)
+        for bucket, idxs in groups.items():
+            for start in range(0, len(idxs), self.max_batch):
+                chunk = idxs[start : start + self.max_batch]
+                b = self._round_batch(len(chunk), self.max_batch)
+                sel = [pairs[i] for i in chunk]
+                # pad with a dummy pair to the rounded batch size
+                while len(sel) < b:
+                    sel.append(sel[0])
+                feats0 = pad_features_to_bucket([p[0] for p in sel], bucket)
+                feats1 = pad_features_to_bucket([p[1] for p in sel], bucket)
+                out = match_feature_batch(
+                    self.params, self.conf, feats0, feats1, mesh=self.mesh
+                )
+                m0 = np.asarray(out.matches0)
+                ms0 = np.asarray(out.matching_scores0)
+                m1 = np.asarray(out.matches1)
+                ms1 = np.asarray(out.matching_scores1)
+                cm, cs = native.compact_matches(m0, ms0)
+                stop = int(out.stop)
+                for j, i in enumerate(chunk):
+                    n0 = pairs[i][0]["keypoints"].shape[0]
+                    n1 = pairs[i][1]["keypoints"].shape[0]
+                    results[i] = {
+                        "matches": cm[j],
+                        "scores": cs[j],
+                        "matches0": m0[j, :n0],
+                        "matches1": m1[j, :n1],
+                        "matching_scores0": ms0[j, :n0],
+                        "matching_scores1": ms1[j, :n1],
+                        "stop": stop,
+                    }
+        return results

@@ -88,3 +88,43 @@ def test_adaptive_sharded_runs():
         params, conf, mk(), mk(), mesh=mesh_lib.make_mesh(8)
     )
     assert 1 <= int(out.stop) <= conf.n_layers
+
+
+def test_batch_matcher_service():
+    from lightglue_tpu.parallel.batching import BatchMatcher
+
+    conf = lightglue_config(
+        "superpoint", depth_confidence=-1.0, width_confidence=-1.0,
+        filter_threshold=0.0,
+    )
+    params = lg.init_params(jax.random.key(0), conf)
+    rng = np.random.default_rng(3)
+
+    def feats(n):
+        return {
+            "keypoints": rng.uniform(0, 640, (n, 2)).astype(np.float32),
+            "descriptors": rng.standard_normal((n, 256)).astype(np.float32),
+            "image_size": np.array([640.0, 480.0], np.float32),
+        }
+
+    # ragged pairs spanning two buckets
+    pairs = [
+        (feats(40), feats(60)),
+        (feats(200), feats(180)),  # -> bucket 256
+        (feats(50), feats(30)),
+        (feats(70), feats(90)),
+    ]
+    bm = BatchMatcher(conf, params, buckets=(128, 256), max_batch=4)
+    results = bm.match_pairs(pairs)
+    assert len(results) == 4
+    for (f0, f1), r in zip(pairs, results):
+        n0 = f0["keypoints"].shape[0]
+        assert r["matches0"].shape == (n0,)
+        for i, j in r["matches"]:
+            assert r["matches0"][i] == j
+            assert j < f1["keypoints"].shape[0]
+
+    # single-pair equivalence: same pair matched alone gives same matches
+    solo = BatchMatcher(conf, params, buckets=(128,), max_batch=1)
+    r_solo = solo.match_pairs([pairs[0]])[0]
+    np.testing.assert_array_equal(r_solo["matches0"], results[0]["matches0"])
