@@ -39,6 +39,15 @@ class LightGlueConfig:
     # is one extra matchability matmul per layer.
     pruning_min_kpts: int = 1024
 
+    def __post_init__(self):
+        if self.descriptor_dim % self.num_heads != 0:
+            raise ValueError(
+                f"descriptor_dim {self.descriptor_dim} must be divisible by "
+                f"num_heads {self.num_heads}"
+            )
+        if self.n_layers < 1:
+            raise ValueError("n_layers must be >= 1")
+
     @property
     def head_dim(self) -> int:
         return self.descriptor_dim // self.num_heads
@@ -136,7 +145,8 @@ class SIFTConfig:
     rootsift: bool = True
     nms_radius: int = 0
     max_num_keypoints: int = 4096
-    backend: str = "jax"  # {"jax", "opencv"}
+    backend: str = "opencv"  # {"opencv", "jax"} — opencv matches the
+    # reference exactly (sift.py:84); "jax" is the TPU-native DoG pipeline
     detection_threshold: float = 0.0066667  # COLMAP peak threshold
     edge_threshold: float = 10.0
     first_octave: int = -1

@@ -103,6 +103,30 @@ class Extractor:
             out["oris"] = np.asarray(feats.oris)
         return out
 
+    def extract_batch(self, images) -> Dict[str, np.ndarray]:
+        """Batched extraction for same-size images: (B, H, W, C) float [0,1]
+        (throughput/serving path; single compile, one device program).
+        No resizing — images must be pre-sized; H/W padded to the stride."""
+        imgs = np.asarray(images, np.float32)
+        if imgs.ndim == 3:
+            imgs = imgs[..., None]
+        b, h, w = imgs.shape[:3]
+        ph, pw = (-h) % self.stride, (-w) % self.stride
+        if ph or pw:
+            imgs = np.pad(imgs, [(0, 0), (0, ph), (0, pw), (0, 0)], mode="edge")
+        sizes = np.tile([[w, h]], (b, 1)).astype(np.float32)
+        feats = self._jit_forward(
+            self.params, self.conf, jnp.asarray(imgs), jnp.asarray(sizes)
+        )
+        out = {
+            "keypoints": np.asarray(feats.keypoints),
+            "keypoint_scores": np.asarray(feats.keypoint_scores),
+            "descriptors": np.asarray(feats.descriptors),
+            "valid": np.asarray(feats.valid),
+            "image_size": sizes,
+        }
+        return out
+
 
 class SuperPoint(Extractor):
     """SuperPoint wrapper (reference superpoint.py:98-148)."""

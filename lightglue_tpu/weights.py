@@ -268,3 +268,20 @@ def convert_disk(sd: Dict[str, np.ndarray], desc_dim: int = 128) -> dict:
     down = {str(i): blk(f"unet.path_down.{i}.", is_first=(i == 0)) for i in range(5)}
     up = {str(i): blk(f"unet.path_up.{i}.") for i in range(4)}
     return {"down": down, "up": up}
+
+
+def save_params_orbax(path: str, params: dict) -> None:
+    """Checkpoint via orbax (for ecosystems standardized on it); the flat
+    npz format (save_params) remains the default."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)

@@ -133,3 +133,17 @@ def test_disk_pipeline():
     # assert no duplicate positions
     kp = feats0["keypoints"][feats0["valid"]]
     assert len(np.unique(kp, axis=0)) == len(kp)
+
+
+def test_extract_batch():
+    rng = np.random.default_rng(9)
+    imgs = rng.uniform(0, 1, (3, 96, 120, 3)).astype(np.float32)
+    extractor = SuperPoint(max_num_keypoints=64, detection_threshold=0.0005)
+    out = extractor.extract_batch(imgs)
+    assert out["keypoints"].shape == (3, 64, 2)
+    assert out["descriptors"].shape == (3, 64, 256)
+    # must equal per-image extraction (no resize path)
+    single = extractor.extract(imgs[1], resize=None)
+    np.testing.assert_allclose(
+        out["keypoints"][1], single["keypoints"][0], atol=1e-4
+    )
