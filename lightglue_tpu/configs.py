@@ -103,6 +103,7 @@ class SuperPointConfig:
     detection_threshold: float = 0.0005
     remove_borders: int = 4
     resize: int = 1024
+    mp: bool = False  # bfloat16 convs (fp32 score softmax / descriptor norm)
 
     def replace(self, **kw) -> "SuperPointConfig":
         return dataclasses.replace(self, **kw)

