@@ -294,7 +294,7 @@ def _prepare(
         desc1 = nn.linear(params["input_proj"], desc1)
     enc0 = rotary.fourier_posenc(params["posenc"], kn0)
     enc1 = rotary.fourier_posenc(params["posenc"], kn1)
-    return desc0, desc1, enc0, enc1
+    return desc0, desc1, enc0, enc1, kn0, kn1
 
 
 def forward_fixed(
@@ -318,7 +318,7 @@ def forward_fixed(
     depth/width confidence disabled)."""
     b, m, _ = kpts0.shape
     n = kpts1.shape[1]
-    desc0, desc1, enc0, enc1 = _prepare(
+    desc0, desc1, enc0, enc1, _, _ = _prepare(
         params, conf, kpts0, kpts1, desc0, desc1, size0, size1, mask0, mask1,
         scales0, oris0, scales1, oris1,
     )
@@ -371,14 +371,29 @@ def forward_adaptive(
     """
     b, m, _ = kpts0.shape
     n = kpts1.shape[1]
-    desc0, desc1, enc0, enc1 = _prepare(
+    desc0, desc1, enc0, enc1, _, _ = _prepare(
         params, conf, kpts0, kpts1, desc0, desc1, size0, size1, mask0, mask1,
         scales0, oris0, scales1, oris1,
     )
     valid0 = mask0 if mask0 is not None else jnp.ones((b, m), bool)
     valid1 = mask1 if mask1 is not None else jnp.ones((b, n), bool)
     num_points = jnp.sum(valid0) + jnp.sum(valid1)
+    init = (
+        jnp.int32(0), desc0, desc1, valid0, valid1,
+        jnp.ones((b, m), jnp.int32), jnp.ones((b, n), jnp.int32),
+        jnp.array(False),
+    )
+    state = _adaptive_loop(
+        params, conf, enc0, enc1, num_points, init, conf.n_layers
+    )
+    return _finalize_adaptive(params, conf, state, b, m, n)
 
+
+def _adaptive_loop(params, conf, enc0, enc1, num_points, init, i_max: int):
+    """The reference's layer loop with break/pruning (lightglue.py:538-566)
+    as a lax.while_loop over stacked layer params. ``init`` carries
+    (i, d0, d1, act0, act1, prune0, prune1, stop); runs until i_max or
+    early stop."""
     do_early_stop = conf.depth_confidence > 0
     do_pruning = conf.width_confidence > 0
     thresholds = confidence_thresholds(conf.n_layers)
@@ -407,7 +422,7 @@ def forward_adaptive(
 
     def cond(state: State):
         i, _, _, _, _, _, _, stop = state
-        return (i < conf.n_layers) & ~stop
+        return (i < i_max) & ~stop
 
     def body(state: State):
         i, d0, d1, act0, act1, prune0, prune1, stop = state
@@ -455,26 +470,20 @@ def forward_adaptive(
         )
         return (i + 1, d0, d1, act0, act1, prune0, prune1, stop_now)
 
-    init = (
-        jnp.int32(0),
-        desc0,
-        desc1,
-        valid0,
-        valid1,
-        jnp.ones((b, m), jnp.int32),
-        jnp.ones((b, n), jnp.int32),
-        jnp.array(False),
-    )
-    i, desc0, desc1, act0, act1, prune0, prune1, _ = jax.lax.while_loop(
-        cond, body, init
-    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _finalize_adaptive(params, conf, state, b, m, n) -> MatchOutput:
+    """Final log-assignment at the last executed layer + match filtering
+    (reference lightglue.py:590-629)."""
+    i, desc0, desc1, act0, act1, prune0, prune1, _ = state
     last_i = i - 1
     la = nn.index_params(params["log_assignment"], last_i)
     scores, _ = asg.match_assignment(
         la, desc0.astype(jnp.float32), desc1.astype(jnp.float32), act0, act1
     )
     m0, m1, ms0, ms1 = asg.filter_matches(scores, conf.filter_threshold, act0, act1)
-    if not do_pruning:
+    if not conf.width_confidence > 0:
         prune0 = jnp.full((b, m), conf.n_layers, jnp.int32)
         prune1 = jnp.full((b, n), conf.n_layers, jnp.int32)
     return MatchOutput(m0, m1, ms0, ms1, i, prune0, prune1)
@@ -485,3 +494,141 @@ def forward(params: nn.Params, conf: LightGlueConfig, **kw) -> MatchOutput:
     if conf.depth_confidence > 0 or conf.width_confidence > 0:
         return forward_adaptive(params, conf, **kw)
     return forward_fixed(params, conf, **kw)
+
+
+class PrefixState(NamedTuple):
+    """Device state after the adaptive prefix (for host-side compaction)."""
+
+    i: jnp.ndarray  # () int32 — next layer index
+    desc0: jnp.ndarray  # (B, M, D)
+    desc1: jnp.ndarray  # (B, N, D)
+    act0: jnp.ndarray  # (B, M) bool — surviving (not pruned, valid)
+    act1: jnp.ndarray  # (B, N) bool
+    prune0: jnp.ndarray  # (B, M) int32
+    prune1: jnp.ndarray  # (B, N) int32
+    stop: jnp.ndarray  # () bool — early exit already triggered
+    kn0: jnp.ndarray  # (B, M, 2|4) normalized kpt features (posenc input)
+    kn1: jnp.ndarray  # (B, N, 2|4)
+    num_points: jnp.ndarray  # () int32 — original valid count (stop ratios)
+
+
+def forward_prefix(
+    params: nn.Params,
+    conf: LightGlueConfig,
+    n_prefix: int,
+    kpts0, kpts1, desc0, desc1,
+    size0=None, size1=None, mask0=None, mask1=None,
+    scales0=None, oris0=None, scales1=None, oris1=None,
+) -> PrefixState:
+    """Run the first ``n_prefix`` adaptive layers; the host may then compact
+    surviving points to a smaller bucket (harvesting the reference's
+    index_select width pruning, lightglue.py:551-566, as real FLOP savings)
+    and continue with ``forward_suffix``."""
+    b, m, _ = kpts0.shape
+    n = kpts1.shape[1]
+    desc0, desc1, enc0, enc1, kn0, kn1 = _prepare(
+        params, conf, kpts0, kpts1, desc0, desc1, size0, size1, mask0, mask1,
+        scales0, oris0, scales1, oris1,
+    )
+    valid0 = mask0 if mask0 is not None else jnp.ones((b, m), bool)
+    valid1 = mask1 if mask1 is not None else jnp.ones((b, n), bool)
+    num_points = jnp.sum(valid0) + jnp.sum(valid1)
+    init = (
+        jnp.int32(0), desc0, desc1, valid0, valid1,
+        jnp.ones((b, m), jnp.int32), jnp.ones((b, n), jnp.int32),
+        jnp.array(False),
+    )
+    state = _adaptive_loop(params, conf, enc0, enc1, num_points, init, n_prefix)
+    i, d0, d1, a0, a1, p0, p1, stop = state
+    return PrefixState(i, d0, d1, a0, a1, p0, p1, stop, kn0, kn1, num_points)
+
+
+def forward_suffix(
+    params: nn.Params,
+    conf: LightGlueConfig,
+    state: PrefixState,
+) -> MatchOutput:
+    """Continue the adaptive loop from a (possibly compacted) PrefixState to
+    the end and produce matches. Positional encodings are recomputed from
+    the compacted normalized keypoints (cheap)."""
+    b, m = state.act0.shape
+    n = state.act1.shape[1]
+    enc0 = rotary.fourier_posenc(params["posenc"], state.kn0)
+    enc1 = rotary.fourier_posenc(params["posenc"], state.kn1)
+    init = (
+        state.i, state.desc0, state.desc1, state.act0, state.act1,
+        state.prune0, state.prune1, state.stop,
+    )
+    out = _adaptive_loop(
+        params, conf, enc0, enc1, state.num_points, init, conf.n_layers
+    )
+    # preserve the early-stop layer index: if the prefix already stopped,
+    # the loop body never ran and i is unchanged (correct)
+    return _finalize_adaptive(params, conf, out, b, m, n)
+
+
+def forward_adaptive_twostage(
+    params: nn.Params,
+    conf: LightGlueConfig,
+    n_prefix: int,
+    bucket: int,
+    kpts0, kpts1, desc0, desc1,
+    size0=None, size1=None, mask0=None, mask1=None,
+    scales0=None, oris0=None, scales1=None, oris1=None,
+) -> MatchOutput:
+    """Adaptive forward with ON-DEVICE width-pruning compaction.
+
+    Runs ``n_prefix`` layers at full size, then gathers the surviving points
+    (active-first stable ordering) into a STATIC ``bucket`` per image and
+    runs the remaining layers + assignment at the smaller size — harvesting
+    the reference's index_select pruning (lightglue.py:551-566) as real N^2
+    FLOP savings without any host round-trip. If more than ``bucket`` points
+    survive in an image, the overflow (lowest matchability last in index
+    order) is dropped — the same spirit as the reference's n_limit cap
+    (aliked-style) and DKD truncation.
+
+    Output indices/scores/prune are scattered back to the ORIGINAL
+    numbering (reference lightglue.py:606-614).
+    """
+    b, m, _ = kpts0.shape
+    n = kpts1.shape[1]
+    assert bucket <= m and bucket <= n
+    st = forward_prefix(
+        params, conf, n_prefix, kpts0, kpts1, desc0, desc1,
+        size0, size1, mask0, mask1, scales0, oris0, scales1, oris1,
+    )
+
+    def compact(desc, kn, prune, act):
+        order = jnp.argsort(~act, axis=1, stable=True)  # actives first
+        ind = order[:, :bucket]
+        take2 = lambda a: jnp.take_along_axis(a, ind, axis=1)
+        take3 = lambda a: jnp.take_along_axis(a, ind[..., None], axis=1)
+        return take3(desc), take3(kn), take2(prune), take2(act), ind
+
+    d0, kn0, p0, a0, ind0 = compact(st.desc0, st.kn0, st.prune0, st.act0)
+    d1, kn1, p1, a1, ind1 = compact(st.desc1, st.kn1, st.prune1, st.act1)
+    out = forward_suffix(
+        params, conf,
+        PrefixState(st.i, d0, d1, a0, a1, p0, p1, st.stop, kn0, kn1,
+                    st.num_points),
+    )
+
+    # scatter back to original numbering
+    rows = jnp.arange(b)[:, None]
+    map1 = jnp.take_along_axis(ind1, jnp.clip(out.matches0, 0, bucket - 1), 1)
+    m0 = jnp.full((b, m), -1, jnp.int32).at[rows, ind0].set(
+        jnp.where(out.matches0 >= 0, map1.astype(jnp.int32), -1)
+    )
+    map0 = jnp.take_along_axis(ind0, jnp.clip(out.matches1, 0, bucket - 1), 1)
+    m1 = jnp.full((b, n), -1, jnp.int32).at[rows, ind1].set(
+        jnp.where(out.matches1 >= 0, map0.astype(jnp.int32), -1)
+    )
+    ms0 = jnp.zeros((b, m), jnp.float32).at[rows, ind0].set(
+        out.matching_scores0
+    )
+    ms1 = jnp.zeros((b, n), jnp.float32).at[rows, ind1].set(
+        out.matching_scores1
+    )
+    pr0 = st.prune0.at[rows, ind0].set(out.prune0)
+    pr1 = st.prune1.at[rows, ind1].set(out.prune1)
+    return MatchOutput(m0, m1, ms0, ms1, out.stop, pr0, pr1)
