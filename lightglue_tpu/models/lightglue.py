@@ -204,7 +204,10 @@ def cross_block(
     else:
         mask = None
         if mask0 is not None or mask1 is not None:
-            mask = mask0[:, None, :, None] & mask1[:, None, None, :]
+            b = x0.shape[0]
+            m0_ = mask0 if mask0 is not None else jnp.ones((b, x0.shape[1]), bool)
+            m1_ = mask1 if mask1 is not None else jnp.ones((b, x1.shape[1]), bool)
+            mask = m0_[:, None, :, None] & m1_[:, None, None, :]
         m0, m1 = attn_ops.bidirectional_cross_attention(qk0, qk1, v0, v1, mask)
     m0 = nn.linear(p["to_out"], _merge_heads(m0))
     m1 = nn.linear(p["to_out"], _merge_heads(m1))
