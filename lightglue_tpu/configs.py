@@ -38,6 +38,12 @@ class LightGlueConfig:
     # with a single TPU entry — pruning on TPU is mask-based, so its overhead
     # is one extra matchability matmul per layer.
     pruning_min_kpts: int = 1024
+    # On-device two-stage compaction (forward_adaptive_twostage): after
+    # `compaction_prefix` layers, gather pruning survivors into a bucket of
+    # `compaction_bucket` points and run the remaining layers at that size.
+    # 0 disables (default; the masked path is exactly reference-equivalent).
+    compaction_bucket: int = 0
+    compaction_prefix: int = 3
 
     def __post_init__(self):
         if self.descriptor_dim % self.num_heads != 0:

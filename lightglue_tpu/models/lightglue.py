@@ -493,7 +493,17 @@ def _finalize_adaptive(params, conf, state, b, m, n) -> MatchOutput:
 
 
 def forward(params: nn.Params, conf: LightGlueConfig, **kw) -> MatchOutput:
-    """Dispatch between fixed and adaptive paths (static on conf)."""
+    """Dispatch between fixed, adaptive, and two-stage paths (static on
+    conf)."""
+    if (
+        conf.compaction_bucket > 0
+        and conf.width_confidence > 0
+        and kw["kpts0"].shape[1] > conf.compaction_bucket
+        and kw["kpts1"].shape[1] > conf.compaction_bucket
+    ):
+        return forward_adaptive_twostage(
+            params, conf, conf.compaction_prefix, conf.compaction_bucket, **kw
+        )
     if conf.depth_confidence > 0 or conf.width_confidence > 0:
         return forward_adaptive(params, conf, **kw)
     return forward_fixed(params, conf, **kw)

@@ -114,3 +114,23 @@ def test_twostage_device_compaction_equals_masked():
     np.testing.assert_array_equal(
         np.asarray(two.prune0), np.asarray(masked.prune0)
     )
+
+
+def test_forward_dispatch_to_twostage():
+    conf = lightglue_config(
+        "superpoint", depth_confidence=-1.0, width_confidence=0.4,
+        pruning_min_kpts=-1, filter_threshold=0.0,
+        compaction_bucket=64, compaction_prefix=3,
+    )
+    params = lg.init_params(jax.random.key(0), conf)
+    inputs = _inputs(5, 1, 96, 96)
+    via_forward = jax.jit(lg.forward, static_argnames=("conf",))(
+        params, conf, **inputs
+    )
+    direct = jax.jit(
+        lg.forward_adaptive_twostage,
+        static_argnames=("conf", "n_prefix", "bucket"),
+    )(params, conf, 3, 64, **inputs)
+    np.testing.assert_array_equal(
+        np.asarray(via_forward.matches0), np.asarray(direct.matches0)
+    )
