@@ -110,6 +110,9 @@ class SuperPointConfig:
     remove_borders: int = 4
     resize: int = 1024
     mp: bool = False  # bfloat16 convs (fp32 score softmax / descriptor norm)
+    # >0: use lax.approx_max_k for detection (TPU-fast, ~0.998 observed
+    # recall at 0.95 target); 0 = exact top-k (reference parity)
+    approx_topk: float = 0.0
 
     def replace(self, **kw) -> "SuperPointConfig":
         return dataclasses.replace(self, **kw)
@@ -126,6 +129,7 @@ class DISKConfig:
     detection_threshold: float = 0.0
     pad_if_not_divisible: bool = True
     resize: int = 1024
+    approx_topk: float = 0.0  # see SuperPointConfig.approx_topk
 
     def replace(self, **kw) -> "DISKConfig":
         return dataclasses.replace(self, **kw)
@@ -140,6 +144,7 @@ class ALIKEDConfig:
     detection_threshold: float = 0.2
     nms_radius: int = 2
     resize: int = 1024
+    approx_topk: float = 0.0  # see SuperPointConfig.approx_topk
 
     def replace(self, **kw) -> "ALIKEDConfig":
         return dataclasses.replace(self, **kw)

@@ -234,7 +234,12 @@ def dkd_detect(
     nms = jnp.where(border, 0.0, nms)
 
     k = conf.max_num_keypoints
-    kscores, idx = jax.lax.top_k(nms.reshape(b, -1), k)
+    if conf.approx_topk > 0:
+        kscores, idx = jax.lax.approx_max_k(
+            nms.reshape(b, -1), k, recall_target=conf.approx_topk
+        )
+    else:
+        kscores, idx = jax.lax.top_k(nms.reshape(b, -1), k)
     iy = idx // w
     ix = idx % w
     valid = kscores > conf.detection_threshold

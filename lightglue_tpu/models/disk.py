@@ -134,7 +134,12 @@ def heatmap_to_keypoints(
         th = image_size[:, 1][:, None, None].astype(jnp.float32)
         scores = jnp.where((ys < th) & (xs < tw), scores, -jnp.inf)
     k = conf.max_num_keypoints
-    kscores, idx = jax.lax.top_k(scores.reshape(b, -1), k)
+    if conf.approx_topk > 0:
+        kscores, idx = jax.lax.approx_max_k(
+            scores.reshape(b, -1), k, recall_target=conf.approx_topk
+        )
+    else:
+        kscores, idx = jax.lax.top_k(scores.reshape(b, -1), k)
     iy = (idx // w).astype(jnp.float32)
     ix = (idx % w).astype(jnp.float32)
     kpts = jnp.stack([ix, iy], axis=-1)

@@ -151,7 +151,8 @@ def forward(
         border = (ys < pad) | (ys >= th - pad) | (xs < pad) | (xs >= tw - pad)
         scores = jnp.where(border, -1.0, scores)
     kpts, kscores, valid = top_k_keypoints(
-        scores, conf.max_num_keypoints, conf.detection_threshold
+        scores, conf.max_num_keypoints, conf.detection_threshold,
+        approx_recall=conf.approx_topk,
     )
     descs = sample_descriptors(kpts, desc_map, 8)
     return Features(
