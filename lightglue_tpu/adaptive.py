@@ -18,7 +18,7 @@ With trained weights pruning typically removes 30-60% of points by layer
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

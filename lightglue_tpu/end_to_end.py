@@ -18,11 +18,9 @@ Both describe the same relative geometry; values agree up to the sub-pixel
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import nn

@@ -22,8 +22,7 @@ for the reference's InputPadder pad/unpad (aliked.py:264-288).
 
 from __future__ import annotations
 
-import math
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ LAF = scale * R(ori) about the keypoint center (kornia
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -11,7 +11,7 @@ no collectives are needed in the forward path, so scaling is linear in chips.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

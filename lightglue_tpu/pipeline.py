@@ -9,7 +9,6 @@ jit caches, preprocessing and host-side match compaction.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
