@@ -14,6 +14,8 @@ from .pipeline import (  # noqa: F401
     LightGlue,
     SIFT,
     SuperPoint,
+    batch_to_device,
+    map_tensor,
     match_pair,
     rbd,
 )

@@ -33,6 +33,28 @@ from .models import superpoint as sp
 from .utils.image import ImagePreprocessor, numpy_image_to_array, pad_to_multiple
 
 
+def map_tensor(input_, func):
+    """Recursively apply ``func`` to arrays in nested containers
+    (reference: utils.py:41-52)."""
+    if isinstance(input_, (str, bytes)):
+        return input_
+    if isinstance(input_, dict):
+        return {k: map_tensor(v, func) for k, v in input_.items()}
+    if isinstance(input_, (list, tuple)):
+        return type(input_)(map_tensor(v, func) for v in input_)
+    if isinstance(input_, (np.ndarray, jnp.ndarray)):
+        return func(input_)
+    return input_
+
+
+def batch_to_device(batch: dict, device=None) -> dict:
+    """Move a (nested) batch onto a device (reference: utils.py:55-61;
+    JAX arrays are device-resident, so this is jax.device_put)."""
+    if device is None:
+        device = jax.devices()[0]
+    return map_tensor(batch, lambda t: jax.device_put(jnp.asarray(t), device))
+
+
 def rbd(data: dict) -> dict:
     """Remove batch dimension (reference: utils.py:64-69)."""
     return {
