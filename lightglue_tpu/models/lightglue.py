@@ -29,6 +29,7 @@ from ..configs import LightGlueConfig
 from ..ops import assignment as asg
 from ..ops import attention as attn_ops
 from ..ops import flash as flash_ops
+from ..ops import assignment_fused as fasg_ops
 from ..ops import flash_cross as flash_cross_ops
 from ..ops import rotary
 from ..ops.keypoints import normalize_keypoints
@@ -145,6 +146,27 @@ def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """(B, N, D) -> (B, H, N, D/H)."""
     b, n, d = x.shape
     return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _assign_and_filter(la, conf: LightGlueConfig, desc0, desc1, mask0, mask1):
+    """Final assignment + mutual-NN filtering; uses the fused Pallas path
+    (ops/assignment_fused.py — never materializes the MxN score matrix) when
+    shapes allow, else the XLA path."""
+    d0 = desc0.astype(jnp.float32)
+    d1 = desc1.astype(jnp.float32)
+    m, n = d0.shape[1], d1.shape[1]
+    if _flash_ok(conf, m, n):
+        d = d0.shape[-1]
+        inv = d**-0.25
+        mdesc0 = nn.linear(la["final_proj"], d0) * inv
+        mdesc1 = nn.linear(la["final_proj"], d1) * inv
+        z0 = nn.linear(la["matchability"], d0)[..., 0]
+        z1 = nn.linear(la["matchability"], d1)[..., 0]
+        return fasg_ops.fused_filter_matches(
+            mdesc0, mdesc1, z0, z1, conf.filter_threshold, mask0, mask1
+        )
+    scores, _ = asg.match_assignment(la, d0, d1, mask0, mask1)
+    return asg.filter_matches(scores, conf.filter_threshold, mask0, mask1)
 
 
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
@@ -336,10 +358,9 @@ def forward_fixed(
     (desc0, desc1), _ = jax.lax.scan(body, (desc0, desc1), params["transformers"])
 
     last = nn.index_params(params["log_assignment"], conf.n_layers - 1)
-    scores, _ = asg.match_assignment(
-        last, desc0.astype(jnp.float32), desc1.astype(jnp.float32), mask0, mask1
+    m0, m1, ms0, ms1 = _assign_and_filter(
+        last, conf, desc0, desc1, mask0, mask1
     )
-    m0, m1, ms0, ms1 = asg.filter_matches(scores, conf.filter_threshold, mask0, mask1)
     nl = jnp.int32(conf.n_layers)
     return MatchOutput(
         m0, m1, ms0, ms1, nl,
@@ -482,10 +503,7 @@ def _finalize_adaptive(params, conf, state, b, m, n) -> MatchOutput:
     i, desc0, desc1, act0, act1, prune0, prune1, _ = state
     last_i = i - 1
     la = nn.index_params(params["log_assignment"], last_i)
-    scores, _ = asg.match_assignment(
-        la, desc0.astype(jnp.float32), desc1.astype(jnp.float32), act0, act1
-    )
-    m0, m1, ms0, ms1 = asg.filter_matches(scores, conf.filter_threshold, act0, act1)
+    m0, m1, ms0, ms1 = _assign_and_filter(la, conf, desc0, desc1, act0, act1)
     if not conf.width_confidence > 0:
         prune0 = jnp.full((b, m), conf.n_layers, jnp.int32)
         prune1 = jnp.full((b, n), conf.n_layers, jnp.int32)

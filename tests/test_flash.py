@@ -109,3 +109,33 @@ def test_fused_cross_attention_nomask():
     )
     np.testing.assert_allclose(np.asarray(g0), np.asarray(ref0), atol=2e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(ref1), atol=2e-5)
+
+
+def test_fused_assignment_filter():
+    from lightglue_tpu import nn as lnn
+    from lightglue_tpu.ops import assignment as asg
+    from lightglue_tpu.ops import assignment_fused as fasg
+    import jax
+
+    rng = np.random.default_rng(30)
+    B, M, N, D = 1, 128, 128, 64
+    d0 = jnp.asarray(rng.standard_normal((B, M, D)).astype(np.float32))
+    d1 = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    p = asg.match_assignment_init(jax.random.key(0), D)
+    mask0 = jnp.asarray(np.arange(M)[None] < M - 9)
+    mask1 = jnp.asarray(np.arange(N)[None] < N - 17)
+    for masks in ((None, None), (mask0, mask1)):
+        scores, _ = asg.match_assignment(p, d0, d1, *masks)
+        rm0, rm1, rs0, rs1 = asg.filter_matches(scores, 0.1, *masks)
+        inv = D**-0.25
+        md0 = lnn.linear(p["final_proj"], d0) * inv
+        md1 = lnn.linear(p["final_proj"], d1) * inv
+        z0 = lnn.linear(p["matchability"], d0)[..., 0]
+        z1 = lnn.linear(p["matchability"], d1)[..., 0]
+        gm0, gm1, gs0, gs1 = fasg.fused_filter_matches(
+            md0, md1, z0, z1, 0.1, *masks, block_q=64, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(gm0), np.asarray(rm0))
+        np.testing.assert_array_equal(np.asarray(gm1), np.asarray(rm1))
+        np.testing.assert_allclose(np.asarray(gs0), np.asarray(rs0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gs1), np.asarray(rs1), atol=1e-5)
