@@ -20,16 +20,15 @@ sys.path.insert(0, str(Path(__file__).parent))
 import numpy as np
 
 
-def main():
+def main(M=1024, BATCH=16, REPS=8):
     import jax
     import jax.numpy as jnp
 
     from lightglue_tpu.configs import lightglue_config
     from lightglue_tpu.models import lightglue as lg
 
-    M = 1024
-    BATCH = 16  # sweet spot on v5e (larger batches hit VMEM pressure)
-    REPS = 8  # chained iterations inside one program
+    # defaults: M=1024 kpts, BATCH=16 (v5e sweet spot; larger batches hit
+    # VMEM pressure), REPS=8 chained iterations inside one program
 
     # bf16 compute ("mp"), adaptive on: comparable to the reference's
     # headline config (fp16 flash + adaptive, README.md:132)

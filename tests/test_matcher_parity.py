@@ -234,3 +234,22 @@ def test_width_pruning_parity():
     np.testing.assert_array_equal(np.asarray(out.prune0), ref["prune0"].numpy())
     np.testing.assert_array_equal(np.asarray(out.prune1), ref["prune1"].numpy())
     assert_match(out, ref)
+
+
+def test_scale_ori_masked_pruning_parity():
+    """All features at once: scale/ori encoding + padding masks + width
+    pruning + early-stop heads, vs the reference."""
+    conf_kw = dict(
+        depth_confidence=0.95, width_confidence=0.99, input_dim=128,
+        add_scale_ori=True,
+    )
+    model = make_ref_model(**conf_kw)
+    sd = torch_state_dict_to_numpy(model)
+    conf = LightGlueConfig(pruning_min_kpts=-1, **conf_kw)
+    params = w.convert_lightglue(sd, conf)
+    inp = make_inputs(10, 1, 48, 64, 128, with_scales=True)
+    ref = run_ref(model, inp, with_scales=True)
+    out = run_ours(params, conf, inp, with_scales=True)
+    assert int(out.stop) == ref["stop"]
+    np.testing.assert_array_equal(np.asarray(out.prune0), ref["prune0"].numpy())
+    assert_match(out, ref)
