@@ -314,7 +314,8 @@ def sddh_describe(
     # (reference view(N, 2, n_pos).permute -> offset[:, p, d], aliked.py:571)
     off = x.reshape(b, -1, 2, M).transpose(0, 1, 3, 2)  # (B, Kp, M, 2)
 
-    # --- sample features at kpt + offset
+    # --- sample features at kpt + offset (offset math in fp32)
+    off = off.astype(jnp.float32)
     pos = keypoints[:, :, None, :] + off  # (B, Kp, M, 2) pixel coords
     wh = jnp.asarray([w - 1, h - 1], jnp.float32)
     pos_norm = 2.0 * pos / wh - 1.0
@@ -341,9 +342,13 @@ def forward(
     """(B, H, W, C) image (H, W multiples of 32) -> static-k Features."""
     if image.shape[-1] == 1:
         image = jnp.repeat(image, 3, axis=-1)
+    if conf.mp:
+        image = image.astype(jnp.bfloat16)
     feature_map, score_map = extract_dense_map(params, image)
     kpts, kscores, valid = dkd_detect(score_map, conf, image_size)
-    descs = sddh_describe(params["desc_head"], feature_map, kpts, conf)
+    descs = sddh_describe(
+        params["desc_head"], feature_map, kpts, conf
+    ).astype(jnp.float32)
     return Features(
         keypoints=kpts,
         keypoint_scores=jnp.where(valid, kscores, 0.0),
