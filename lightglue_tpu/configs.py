@@ -158,8 +158,11 @@ class SIFTConfig:
     rootsift: bool = True
     nms_radius: int = 0
     max_num_keypoints: int = 4096
-    backend: str = "opencv"  # {"opencv", "jax"} — opencv matches the
-    # reference exactly (sift.py:84); "jax" is the TPU-native DoG pipeline
+    # {"opencv", "pycolmap", "pycolmap_cpu", "pycolmap_cuda", "jax"} —
+    # opencv matches the reference exactly (sift.py:84); pycolmap* mirror
+    # the reference's COLMAP backends (sift.py:96-126, optional dep);
+    # "jax" is the TPU-native DoG pipeline.
+    backend: str = "opencv"
     detection_threshold: float = 0.0066667  # COLMAP peak threshold
     edge_threshold: float = 10.0
     first_octave: int = -1

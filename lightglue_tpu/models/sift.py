@@ -37,37 +37,53 @@ def filter_dog_point(
     nms_radius: int,
     scores: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Remove duplicate DoG detections and apply NMS; returns kept indices
-    (exact port of reference sift.py:17-50)."""
+    """Deduplicate DoG detections landing on the same pixel and optionally
+    apply radius-NMS; returns kept indices, ascending.
+
+    Same selection rule as the reference (behavior of sift.py:17-50) but a
+    sparse group-wise formulation instead of dense image-sized scatter
+    buffers: detections are grouped by their integer pixel id via a lexsort,
+    each group keeps the rows tied for (max score, then min |angle|), and
+    NMS suppresses a survivor iff a strictly stronger survivor lies within
+    Chebyshev distance ``nms_radius``.
+    """
+    n = len(points)
+    if n == 0:
+        return np.zeros((0,), np.int64)
     h, w = image_shape
-    ij = np.round(points - 0.5).astype(int).T[::-1]
+    cols, rows = np.round(points - 0.5).astype(np.int64).T
+    pid = rows * w + cols  # linear pixel id — the dedup group key
+    s = (scales if scores is None else scores).astype(np.float64)
+    o_abs = np.abs(angles).astype(np.float64)
 
-    # remove duplicate points (identical coordinates); pick highest scale or
-    # score
-    s = scales if scores is None else scores
-    buffer = np.zeros((h, w))
-    np.maximum.at(buffer, tuple(ij), s)
-    keep = np.where(buffer[tuple(ij)] == s)[0]
+    # Within each pixel group, the winner is first under
+    # (pid asc, score desc, |angle| asc); exact ties with the winner all
+    # survive, matching the reference's two equality passes.
+    order = np.lexsort((o_abs, -s, pid))
+    pid_o, s_o, a_o = pid[order], s[order], o_abs[order]
+    starts = np.ones(n, bool)
+    starts[1:] = pid_o[1:] != pid_o[:-1]
+    group = np.cumsum(starts) - 1
+    win_s = s_o[starts][group]
+    win_a = a_o[starts][group]
+    keep = np.sort(order[(s_o == win_s) & (a_o == win_a)])
 
-    # pick lowest angle (arbitrary tie-break)
-    ij = ij[:, keep]
-    buffer[:] = np.inf
-    o_abs = np.abs(angles[keep])
-    np.minimum.at(buffer, tuple(ij), o_abs)
-    mask = buffer[tuple(ij)] == o_abs
-    ij = ij[:, mask]
-    keep = keep[mask]
+    if nms_radius > 0 and len(keep) > 1:
+        # Sparse NMS: for each survivor, search the few survivors within
+        # Chebyshev radius r and drop it if any is strictly stronger.
+        from scipy.spatial import cKDTree
 
-    if nms_radius > 0:
-        buffer[:] = 0
-        buffer[tuple(ij)] = s[keep]
-        # dilate with a (2r+1) max filter (the reference uses max_pool2d)
-        from scipy.ndimage import maximum_filter
-
-        local_max = maximum_filter(buffer, size=2 * nms_radius + 1,
-                                   mode="constant")
-        is_local_max = buffer == local_max
-        keep = keep[is_local_max[tuple(ij)]]
+        rc = np.stack([rows[keep], cols[keep]], axis=1).astype(np.float64)
+        sk = s[keep]
+        pairs = cKDTree(rc).query_pairs(
+            r=nms_radius, p=np.inf, output_type="ndarray"
+        )
+        dead = np.zeros(len(keep), bool)
+        if len(pairs):
+            i, j = pairs.T
+            np.logical_or.at(dead, i, sk[j] > sk[i])
+            np.logical_or.at(dead, j, sk[i] > sk[j])
+        keep = keep[~dead]
     return keep
 
 
@@ -81,15 +97,76 @@ def sift_to_rootsift(x: np.ndarray, eps: float = 1e-6) -> np.ndarray:
 
 
 def run_opencv_sift(features, image: np.ndarray):
-    """Detect + describe with cv2 (reference sift.py:59-76)."""
+    """Detect + describe with a cv2 Feature2D (behavior of reference
+    sift.py:59-76): returns (points xy, responses, sizes, angles[rad],
+    descriptors). The per-keypoint attributes are pulled out of the
+    cv2.KeyPoint list in one pass through a (N, 5) record table."""
     detections, descriptors = features.detectAndCompute(image, None)
-    points = np.array([k.pt for k in detections], dtype=np.float32)
-    scores = np.array([k.response for k in detections], dtype=np.float32)
-    scales = np.array([k.size for k in detections], dtype=np.float32)
-    angles = np.deg2rad(
-        np.array([k.angle for k in detections], dtype=np.float32)
+    table = np.array(
+        [(k.pt[0], k.pt[1], k.response, k.size, k.angle) for k in detections],
+        dtype=np.float32,
+    ).reshape(-1, 5)
+    return (
+        table[:, 0:2],
+        table[:, 2],
+        table[:, 3],
+        np.radians(table[:, 4]),
+        descriptors,
     )
-    return points, scores, scales, angles, descriptors
+
+
+def extract_single_image_pycolmap(
+    image: np.ndarray, conf: SIFTConfig
+) -> Dict[str, np.ndarray]:
+    """Host-side extraction via pycolmap (reference sift.py:96-126,140-155).
+
+    ``backend`` selects the device: "pycolmap" = auto, "pycolmap_cpu",
+    "pycolmap_cuda". pycolmap is optional and absent in this environment;
+    the import error mirrors the reference's message.
+    """
+    try:
+        import pycolmap
+    except ImportError as e:  # pragma: no cover - exercised via monkeypatch
+        raise ImportError(
+            "SIFT backend '%s' requires the pycolmap package: install it "
+            "with pip or use backend='opencv'/'jax'." % conf.backend
+        ) from e
+
+    options = {
+        "peak_threshold": conf.detection_threshold,
+        "edge_threshold": conf.edge_threshold,
+        "first_octave": conf.first_octave,
+        "num_octaves": conf.num_octaves,
+        # L1_ROOT normalization is buggy in pycolmap (reference sift.py:111);
+        # use L2 and apply RootSIFT ourselves.
+        "normalization": pycolmap.Normalization.L2,
+        "max_num_features": conf.max_num_keypoints,
+    }
+    device = "auto" if conf.backend == "pycolmap" else conf.backend[len("pycolmap_"):]
+    sift = pycolmap.Sift(options=options, device=device)
+
+    out = sift.extract(image.astype(np.float32))
+    if len(out) == 3:  # pycolmap < 0.5 also returned scores
+        detections, scores, descriptors = out
+        scores = np.abs(scores) * detections[:, 2]
+    else:
+        detections, descriptors = out
+        scores = None
+    pred = {
+        "keypoints": detections[:, :2].astype(np.float32),
+        "scales": detections[:, 2].astype(np.float32),
+        "oris": detections[:, 3].astype(np.float32),
+        "descriptors": descriptors.astype(np.float32),
+    }
+    if scores is not None:
+        pred["keypoint_scores"] = scores.astype(np.float32)
+    # pycolmap may return points outside the image (reference sift.py:170-175)
+    h, w = image.shape
+    inside = ((pred["keypoints"] + 0.5) < np.array([[w, h]], np.float32)).all(-1)
+    pred = {k: v[inside] for k, v in pred.items()}
+    if "keypoint_scores" not in pred:
+        pred["keypoint_scores"] = pred["scales"].copy()
+    return pred
 
 
 def extract_single_image_opencv(

@@ -230,6 +230,22 @@ class SIFT:
     def _detect(self, img_gray: np.ndarray) -> dict:
         if self.conf.backend == "opencv":
             return sift_model.extract_single_image_opencv(img_gray, self.conf)
+        if self.conf.backend.startswith("pycolmap"):
+            pred = sift_model.extract_single_image_pycolmap(
+                img_gray, self.conf
+            )
+            if self.conf.nms_radius is not None:
+                keep = sift_model.filter_dog_point(
+                    pred["keypoints"], pred["scales"], pred["oris"],
+                    img_gray.shape, self.conf.nms_radius,
+                    scores=pred["keypoint_scores"],
+                )
+                pred = {k: v[keep] for k, v in pred.items()}
+            k = self.conf.max_num_keypoints
+            if k is not None and len(pred["keypoints"]) > k:
+                idx = np.argsort(-pred["keypoint_scores"])[:k]
+                pred = {k_: v[idx] for k_, v in pred.items()}
+            return pred
         if self.conf.backend == "jax":
             from .models import sift_jax
 
@@ -241,7 +257,10 @@ class SIFT:
             out = {k: np.asarray(v) for k, v in out.items()}
             valid = out.pop("valid")
             return {k: v[valid] for k, v in out.items()}
-        raise ValueError(f"Unknown SIFT backend: {self.conf.backend}")
+        raise ValueError(
+            f"Unknown SIFT backend: {self.conf.backend!r} not in "
+            "{'opencv', 'pycolmap', 'pycolmap_cpu', 'pycolmap_cuda', 'jax'}"
+        )
 
     def extract(self, image, **preprocess_overrides) -> Dict[str, np.ndarray]:
         img = np.asarray(image)

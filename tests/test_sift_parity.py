@@ -25,6 +25,50 @@ def test_rootsift_parity():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_filter_dog_point_parity():
+    """The sparse lexsort/KDTree re-derivation must select exactly the same
+    indices as the reference's dense scatter-buffer version (sift.py:17-50),
+    including pixel collisions, score/angle ties, and radius NMS."""
+    rng = np.random.default_rng(3)
+    n, h, w = 400, 60, 80
+    # force many integer-pixel collisions by snapping half the points
+    pts = rng.uniform(0.5, [w - 1.0, h - 1.0], (n, 2)).astype(np.float32)
+    pts[: n // 2] = np.round(pts[: n // 2])
+    scales = rng.uniform(1, 4, n).astype(np.float32)
+    angles = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    scores = rng.choice([0.1, 0.2, 0.3, 0.5], n).astype(np.float32)  # ties
+    for nms_radius in (0, 2, 5):
+        for sc in (scores, None):
+            ref = ref_sift_mod.filter_dog_point(
+                pts, scales, angles, (h, w), nms_radius, scores=sc
+            )
+            got = sift_model.filter_dog_point(
+                pts, scales, angles, (h, w), nms_radius, scores=sc
+            )
+            np.testing.assert_array_equal(np.sort(ref), got)
+
+
+def test_pycolmap_backend_surface():
+    """Backend dispatch parity (reference sift.py:96-138): pycolmap configs
+    are accepted and fail with a clear ImportError when the dep is absent;
+    unknown backends raise ValueError."""
+    for backend in ("pycolmap", "pycolmap_cpu", "pycolmap_cuda"):
+        ours = SIFT(backend=backend, resize=None)
+        try:
+            import pycolmap  # noqa: F401
+
+            has_pycolmap = True
+        except ImportError:
+            has_pycolmap = False
+        if not has_pycolmap:
+            with pytest.raises(ImportError, match="pycolmap"):
+                ours.extract(np.zeros((32, 32), np.float32))
+    with pytest.raises(ValueError, match="Unknown SIFT backend"):
+        SIFT(backend="bogus", resize=None).extract(
+            np.zeros((32, 32), np.float32)
+        )
+
+
 def test_extract_parity_vs_reference():
     image = load_image(ASSET, resize=320)  # pre-resize so both skip resizing
     gray = image @ np.array([0.299, 0.587, 0.114], np.float32)
