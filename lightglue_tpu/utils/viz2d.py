@@ -58,6 +58,25 @@ def cm_prune(x_) -> np.ndarray:
     return cm_BlRdGn(norm_x)
 
 
+def cm_grad2d(xy) -> np.ndarray:
+    """Bilinear 2-D colormap over the unit square (reference viz2d.py:42-53):
+    corners are yellow (0,0), green (1,0), red (0,1), blue (1,1)."""
+    corners = np.array(
+        [
+            [1.0, 1.0, 0.0],  # (0,0) yellow
+            [0.0, 1.0, 0.0],  # (1,0) green
+            [1.0, 0.0, 0.0],  # (0,1) red
+            [0.0, 0.0, 1.0],  # (1,1) blue
+        ]
+    )
+    xy = np.clip(np.asarray(xy, np.float64), 0.0, 1.0)
+    x, y = xy[..., 0:1], xy[..., 1:2]
+    weights = np.concatenate(
+        [(1 - x) * (1 - y), x * (1 - y), (1 - x) * y, x * y], axis=-1
+    )
+    return np.clip(weights @ corners, 0.0, 1.0)
+
+
 def plot_images(
     imgs: List[np.ndarray],
     titles: Optional[List[str]] = None,
@@ -114,22 +133,36 @@ def plot_matches(
     kpts1 = np.asarray(kpts1)
     assert len(kpts0) == len(kpts1)
     if color is None:
-        color = matplotlib.cm.hsv(np.random.rand(len(kpts0))).tolist()
+        # Default: 2-D gradient by keypoint position in image 0, so nearby
+        # matches share a hue (reference viz2d.py:140-144).
+        if len(kpts0):
+            lo = kpts0.min(axis=0, keepdims=True)
+            span = np.ptp(kpts0, axis=0, keepdims=True)
+            color = cm_grad2d(
+                (kpts0 - lo) / np.where(span == 0, 1.0, span)
+            ).tolist()
+        else:
+            color = []
     elif len(color) > 0 and not isinstance(color[0], (tuple, list)):
         color = [color] * len(kpts0)
     if lw > 0:
-        for i in range(len(kpts0)):
-            line = matplotlib.patches.ConnectionPatch(
-                xyA=(kpts0[i, 0], kpts0[i, 1]),
-                xyB=(kpts1[i, 0], kpts1[i, 1]),
+        per_line_labels = [None] * len(kpts0) if labels is None else labels
+        for p0, p1, c, lab in zip(kpts0, kpts1, color, per_line_labels):
+            patch = matplotlib.patches.ConnectionPatch(
+                tuple(p0), tuple(p1),
                 coordsA=ax0.transData, coordsB=ax1.transData,
                 axesA=ax0, axesB=ax1,
-                zorder=1, color=color[i], linewidth=lw, clip_on=True,
-                alpha=a, label=None if labels is None else labels[i],
-                picker=5.0,
             )
-            line.set_annotation_clip(True)
-            fig.add_artist(line)
+            patch.set(
+                color=c, linewidth=lw, alpha=a, zorder=1, clip_on=True,
+                label=lab, picker=5.0,
+            )
+            patch.set_annotation_clip(True)
+            fig.add_artist(patch)
+    # Freeze the transforms so the endpoint scatter below cannot rescale the
+    # axes after the lines were placed (reference viz2d.py:168-170).
+    ax0.autoscale(enable=False)
+    ax1.autoscale(enable=False)
     if ps > 0:
         ax0.scatter(kpts0[:, 0], kpts0[:, 1], c=color, s=ps)
         ax1.scatter(kpts1[:, 0], kpts1[:, 1], c=color, s=ps)
