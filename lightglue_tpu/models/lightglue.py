@@ -220,9 +220,16 @@ def cross_block(
     v0 = _split_heads(nn.linear(p["to_v"], x0), num_heads)
     v1 = _split_heads(nn.linear(p["to_v"], x1), num_heads)
     if _flash_ok(conf, x0.shape[1], x1.shape[1]):
-        m0, m1 = flash_cross_ops.fused_cross_attention(
-            qk0, qk1, v0, v1, mask0, mask1
-        )
+        if conf.head_dim <= flash_cross_ops._ONES_COL:
+            m0, m1 = flash_cross_ops.fused_cross_attention(
+                qk0, qk1, v0, v1, mask0, mask1
+            )
+        else:
+            # the fused kernel's ones-column V augmentation needs D <= 64;
+            # wider heads run the two-pass strip-softmax kernels instead
+            m0, m1 = flash_ops.flash_cross_pair(
+                qk0, qk1, v0, v1, mask0, mask1
+            )
     else:
         mask = None
         if mask0 is not None or mask1 is not None:

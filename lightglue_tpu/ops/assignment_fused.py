@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import flash as flash_ops
+
 NEG_INF = -1e30
 
 
@@ -136,9 +138,7 @@ def fused_filter_matches(
     """
     b, m, d = mdesc0.shape
     n = mdesc1.shape[1]
-    block_q = min(block_q, m)
-    if m % block_q != 0:
-        raise ValueError(f"M={m} not a multiple of block_q={block_q}")
+    block_q = flash_ops.pick_block(m, block_q)
     n_i = m // block_q
 
     bias0 = jnp.zeros((b, m), jnp.float32) if mask0 is None else (

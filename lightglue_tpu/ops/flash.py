@@ -33,6 +33,16 @@ LANES = 128
 ONES_COL = 64  # lane holding the softmax denominator in the augmented V
 
 
+def pick_block(n: int, block: int) -> int:
+    """Largest power-of-two fraction of ``block`` that divides ``n`` (n
+    itself if smaller): keeps any multiple-of-128 length (e.g. 384, 640)
+    tileable instead of raising when n % block != 0."""
+    block = min(block, n)
+    while n % block:
+        block //= 2
+    return max(block, 1)
+
+
 def _augment_v(v):
     """(B, H, N, D<=64) -> (B, H, N, 128) = [v | ones@64 | zeros]: the PV
     matmul then computes the softmax sum on the MXU instead of a VPU pass."""
@@ -108,9 +118,7 @@ def flash_sdpa(
     """
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    block_q = min(block_q, nq)
-    if nq % block_q != 0:
-        raise ValueError(f"Nq={nq} not a multiple of block_q={block_q}")
+    block_q = pick_block(nq, block_q)
     has_mask = k_valid is not None
     scale = d**-0.5
 

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import flash as flash_ops
+
 NEG_INF = -1e30
 LANES = 128
 
@@ -142,9 +144,7 @@ def fused_cross_attention(
     """
     b, h, m, d = qk0.shape
     n = qk1.shape[2]
-    block_q = min(block_q, m)
-    if m % block_q != 0:
-        raise ValueError(f"M={m} not a multiple of block_q={block_q}")
+    block_q = flash_ops.pick_block(m, block_q)
     has_mask = valid0 is not None or valid1 is not None
     if has_mask:
         if valid0 is None:

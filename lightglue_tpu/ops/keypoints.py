@@ -33,7 +33,10 @@ def normalize_keypoints(
         else:
             mx = jnp.max(kpts, axis=-2)
             mn = jnp.min(kpts, axis=-2)
-        size = 1.0 + mx - mn
+        # clamp guards the zero-valid-keypoint case (mx/mn sentinels would
+        # make size hugely negative); the reference instead bails out before
+        # reaching here (lightglue.py:568-588)
+        size = jnp.maximum(1.0 + mx - mn, 1.0)
         # match reference: shift is size/2 about the origin, not the bbox
         # center (lightglue.py:36 uses only max-min, no min offset)
     else:

@@ -175,11 +175,15 @@ class BatchMatcher:
         self.max_batch = max_batch
         self._matcher = make_batched_matcher(conf, mesh)
 
-    @staticmethod
-    def _round_batch(n: int, max_batch: int) -> int:
+    def _round_batch(self, n: int, max_batch: int) -> int:
         b = 1
         while b < n and b < max_batch:
             b *= 2
+        if self.mesh is not None:
+            # NamedSharding over the batch axis requires the batch to divide
+            # evenly across the mesh; round up (dummy pairs fill the slack)
+            nd = self.mesh.devices.size
+            b = ((b + nd - 1) // nd) * nd
         return b
 
     def match_pairs(self, pairs):

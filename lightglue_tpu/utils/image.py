@@ -129,7 +129,17 @@ class ImagePreprocessor:
         h, w = image.shape[:2]
         if self.conf.resize is not None:
             fn = "max" if self.conf.side == "long" else "min"
-            interp = "area" if self.conf.antialias else "linear"
+            interp = {
+                "bilinear": "linear", "linear": "linear",
+                "bicubic": "cubic", "cubic": "cubic",
+                "nearest": "nearest", "area": "area",
+            }[self.conf.interpolation]
+            # kornia-style antialias: averaging filter only when downscaling
+            # (reference utils.py:26-38 via kornia.geometry.resize)
+            agg = max if fn == "max" else min
+            downscale = self.conf.resize < agg(h, w)
+            if self.conf.antialias and downscale and interp == "linear":
+                interp = "area"
             image, _ = resize_image(image, self.conf.resize, fn=fn, interp=interp)
         scale = np.array(
             [image.shape[1] / w, image.shape[0] / h], np.float32

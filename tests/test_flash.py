@@ -139,3 +139,47 @@ def test_fused_assignment_filter():
         np.testing.assert_array_equal(np.asarray(gm1), np.asarray(rm1))
         np.testing.assert_allclose(np.asarray(gs0), np.asarray(rs0), atol=1e-5)
         np.testing.assert_allclose(np.asarray(gs1), np.asarray(rs1), atol=1e-5)
+
+
+def test_pick_block_indivisible_lengths():
+    """Any multiple-of-128 length must tile (ADVICE r1: 384/640 crashed with
+    the default block_q=256); odd lengths degrade to a legal divisor."""
+    assert flash.pick_block(384, 256) == 128
+    assert flash.pick_block(640, 256) == 128
+    assert flash.pick_block(512, 256) == 256
+    assert flash.pick_block(100, 256) == 100
+    assert flash.pick_block(96, 64) == 32
+
+
+def test_flash_sdpa_384():
+    """Default block_q on a 384-length input (not a multiple of 256)."""
+    q = jnp.asarray(_rand((1, 1, 384, 64), 20))
+    k = jnp.asarray(_rand((1, 1, 384, 64), 21))
+    v = jnp.asarray(_rand((1, 1, 384, 64), 22))
+    ref = attn_ops.sdpa(q, k, v)
+    got = flash.flash_sdpa(q, k, v, interpret=True)  # default block_q=256
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_cross_and_assignment_384():
+    from lightglue_tpu.ops import assignment as asg
+    from lightglue_tpu.ops import assignment_fused as fasg
+    from lightglue_tpu.ops import flash_cross
+
+    qk0 = jnp.asarray(_rand((1, 1, 384, 64), 23))
+    qk1 = jnp.asarray(_rand((1, 1, 384, 64), 24))
+    v0 = jnp.asarray(_rand((1, 1, 384, 64), 25))
+    v1 = jnp.asarray(_rand((1, 1, 384, 64), 26))
+    ref0, ref1 = attn_ops.bidirectional_cross_attention(qk0, qk1, v0, v1)
+    got0, got1 = flash_cross.fused_cross_attention(
+        qk0, qk1, v0, v1, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), atol=2e-4)
+
+    md0 = jnp.asarray(_rand((1, 384, 64), 27))
+    md1 = jnp.asarray(_rand((1, 384, 64), 28))
+    z0 = jnp.asarray(_rand((1, 384), 29))
+    z1 = jnp.asarray(_rand((1, 384), 30))
+    out = fasg.fused_filter_matches(md0, md1, z0, z1, 0.1, interpret=True)
+    assert out[0].shape == (1, 384)
