@@ -44,6 +44,12 @@ class LightGlueConfig:
     # 0 disables (default; the masked path is exactly reference-equivalent).
     compaction_bucket: int = 0
     compaction_prefix: int = 3
+    # Constant softmax shift (nats) for the CROSS attention kernel: enables
+    # the true single-pass bidirectional kernel (one exp for both softmax
+    # directions, sums on the MXU — ops/flash_cross.py). Exact for scores
+    # within ~(shift-85, shift+70) nats of 0; trained matcher scores are
+    # |s| <~ 30. None = per-row max (bitwise reference semantics).
+    cross_softmax_shift: Optional[float] = None
 
     def __post_init__(self):
         if self.descriptor_dim % self.num_heads != 0:

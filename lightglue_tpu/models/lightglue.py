@@ -222,7 +222,8 @@ def cross_block(
     if _flash_ok(conf, x0.shape[1], x1.shape[1]):
         if conf.head_dim <= flash_cross_ops._ONES_COL:
             m0, m1 = flash_cross_ops.fused_cross_attention(
-                qk0, qk1, v0, v1, mask0, mask1
+                qk0, qk1, v0, v1, mask0, mask1,
+                shift=conf.cross_softmax_shift,
             )
         else:
             # the fused kernel's ones-column V augmentation needs D <= 64;

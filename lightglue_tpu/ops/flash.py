@@ -56,6 +56,41 @@ def _augment_v(v):
     return jnp.concatenate(parts, axis=-1)
 
 
+LOG2E = 1.4426950408889634  # 1/ln(2): exp(x) == exp2(x * LOG2E)
+SHIFT_CLAMP = 100.0  # max exp2 argument after shift (2^100 ~ 1e30, safe sums)
+
+
+def _attn_kernel_shift(q_ref, k_ref, v_ref, kbias_ref, o_ref, *,
+                       shift2: float, has_mask: bool):
+    """Fixed-shift softmax variant: softmax is shift-invariant, so a CONSTANT
+    shift replaces the per-row max — removing the max reduction pass over the
+    (BQ, N) strip entirely. Scores are handled in the log2 domain (scale *
+    LOG2E folded into q by the caller) so the transcendental is a bare exp2.
+    A clamp bounds the exp2 argument, trading exactness above
+    ``shift + ~70`` nats (astronomically confident scores) for overflow
+    safety. Underflow: rows whose max score is ~85 nats below ``shift``
+    collapse to zero weight — far outside trained matcher score ranges
+    (|s| <~ 30, reference lightglue.py score head semantics).
+    """
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # log2-domain scores
+    if has_mask:
+        s = s + kbias_ref[0, 0, :][None, :]
+    e = jnp.exp2(jnp.minimum(s - shift2, SHIFT_CLAMP))
+    l = jnp.sum(e, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        e.astype(v_ref.dtype), v_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
 def _attn_kernel_4d(q_ref, k_ref, v_ref, kbias_ref, o_ref, *, scale: float,
                     has_mask: bool, fast: bool = False):
     """One query block vs full K/V for one (batch, head).
@@ -107,6 +142,7 @@ def flash_sdpa(
     block_q: int = 256,
     interpret: bool = False,
     fast: bool = False,
+    shift: Optional[float] = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention via the strip-softmax Pallas kernel.
 
@@ -114,6 +150,9 @@ def flash_sdpa(
     ``fast=False``: exact fp32 softmax. ``fast=True``: bf16 score strip
     (2x VPU throughput; attention-weight error ~0.4% — same precision class
     as the reference's fp16 flash path, lightglue.py:118-120).
+    ``shift``: constant softmax shift (in nats) replacing the per-row max —
+    one fewer VPU reduction over the N^2 strip; exact for scores within
+    ~(shift-85, shift+70), see _attn_kernel_shift.
     Returns (B, H, Nq, D) in q.dtype.
     """
     b, h, nq, d = q.shape
@@ -123,9 +162,18 @@ def flash_sdpa(
     scale = d**-0.5
 
     grid = (b, h, nq // block_q)
-    kernel = functools.partial(
-        _attn_kernel_4d, scale=scale, has_mask=has_mask, fast=fast
-    )
+    if shift is not None:
+        # log2-domain: fold scale * LOG2E into q (free: q is elementwise
+        # scaled anyway), bias stays additive
+        q = q * jnp.asarray(scale * LOG2E, q.dtype)
+        kernel = functools.partial(
+            _attn_kernel_shift, shift2=shift * LOG2E, has_mask=has_mask
+        )
+        scale = 1.0
+    else:
+        kernel = functools.partial(
+            _attn_kernel_4d, scale=scale, has_mask=has_mask, fast=fast
+        )
     in_specs = [
         pl.BlockSpec(
             (1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
@@ -152,7 +200,10 @@ def flash_sdpa(
         operands.append(kbias[:, None, :])
     else:
         # keep kernel signature uniform: kmask_ref slot unused
-        kernel = functools.partial(_no_mask_adapter, scale=scale, fast=fast)
+        masked_kernel = kernel
+
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            masked_kernel(q_ref, k_ref, v_ref, None, o_ref)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -166,12 +217,6 @@ def flash_sdpa(
     )(*operands)
 
 
-def _no_mask_adapter(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                     fast: bool = False):
-    _attn_kernel_4d(q_ref, k_ref, v_ref, None, o_ref, scale=scale,
-                    has_mask=False, fast=fast)
-
-
 def flash_cross_pair(
     qk0: jnp.ndarray,
     qk1: jnp.ndarray,
@@ -182,6 +227,7 @@ def flash_cross_pair(
     block_q: int = 256,
     interpret: bool = False,
     fast: bool = False,
+    shift: Optional[float] = None,
 ):
     """Bidirectional shared-QK cross attention via two strip-softmax passes
     (reference semantics: lightglue.py:216-225 — one similarity matrix,
@@ -189,6 +235,6 @@ def flash_cross_pair(
 
     Returns (m0 (B,H,M,D), m1 (B,H,N,D)).
     """
-    m0 = flash_sdpa(qk0, qk1, v1, valid1, block_q, interpret, fast)
-    m1 = flash_sdpa(qk1, qk0, v0, valid0, block_q, interpret, fast)
+    m0 = flash_sdpa(qk0, qk1, v1, valid1, block_q, interpret, fast, shift)
+    m1 = flash_sdpa(qk1, qk0, v0, valid0, block_q, interpret, fast, shift)
     return m0, m1

@@ -113,6 +113,77 @@ def _fused_cross_kernel(
         m1_ref[0, 0] = m1.astype(m1_ref.dtype)
 
 
+def _single_pass_cross_kernel(
+    q0_ref,      # (1, 1, BQ, D)   query block of image0 (log2-domain scaled)
+    k1_ref,      # (1, 1, N, D)
+    v0a_ref,     # (1, 1, BQ, LANES) ones-augmented v0 block
+    v1a_ref,     # (1, 1, N, LANES)  ones-augmented v1, full
+    bias0_ref,   # (1, 1, BQ)  additive row bias (0 valid / NEG_INF) or absent
+    bias1_ref,   # (1, 1, N)   additive col bias
+    m0_ref,      # (1, 1, BQ, LANES) out
+    m1_ref,      # (1, 1, N, LANES)  out
+    acc_ref,     # scratch (N, LANES) f32 (only touched when n_i > 1)
+    *,
+    n_i: int,
+    shift2: float,
+    has_mask: bool,
+):
+    """TRUE single-pass bidirectional cross attention.
+
+    With a CONSTANT softmax shift (see flash.py::_attn_kernel_shift) the row
+    and column softmaxes share one exponential: e = exp2(s - c). Both
+    normalizer sums ride the MXU through the ones-column of the augmented V
+    (e @ v1a for rows, e^T @ v0a for columns), so the ONLY VPU work over the
+    (BQ, N) strip is the fused bias-add/clamp/exp2/cast map — no max pass,
+    no rescale, no column-correction multiply (which the exact kernel needs,
+    see _fused_cross_kernel). Invalid rows/columns carry NEG_INF bias, so
+    they exponentiate to zero and drop out of both directions; their own
+    outputs normalize to 0 via the guarded divide.
+    """
+    i = pl.program_id(2)
+    s = jax.lax.dot_general(
+        q0_ref[0, 0], k1_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, N) log2-domain scores
+    if has_mask:
+        s = s + bias0_ref[0, 0, :][:, None] + bias1_ref[0, 0, :][None, :]
+    e = jnp.exp2(
+        jnp.minimum(s - shift2, flash_ops.SHIFT_CLAMP)
+    ).astype(v1a_ref.dtype)
+
+    pv0 = jax.lax.dot_general(
+        e, v1a_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, LANES): [message | l_row | ...]
+    l_row = pv0[:, _ONES_COL:_ONES_COL + 1]
+    m0_ref[0, 0] = (pv0 / jnp.maximum(l_row, 1e-30)).astype(m0_ref.dtype)
+
+    pv1 = jax.lax.dot_general(
+        e, v0a_ref[0, 0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, LANES) = e^T @ v0a
+    if n_i == 1:
+        l_col = pv1[:, _ONES_COL:_ONES_COL + 1]
+        m1_ref[0, 0] = (pv1 / jnp.maximum(l_col, 1e-30)).astype(m1_ref.dtype)
+    else:
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += pv1
+
+        @pl.when(i == n_i - 1)
+        def _():
+            acc = acc_ref[...]
+            l_col = acc[:, _ONES_COL:_ONES_COL + 1]
+            m1_ref[0, 0] = (acc / jnp.maximum(l_col, 1e-30)).astype(
+                m1_ref.dtype
+            )
+
+
 _ONES_COL = 64  # lane index of the ones column inside the augmented V
 
 
@@ -136,14 +207,24 @@ def fused_cross_attention(
     valid1: Optional[jnp.ndarray] = None,
     block_q: int = 256,
     interpret: bool = False,
+    shift: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bidirectional shared-QK cross attention, one strip pass.
 
     qk0: (B, H, M, D); qk1: (B, H, N, D); v0/v1 same leading dims.
+    ``shift``: constant softmax shift (nats) — switches to the true
+    single-pass kernel (one exp2 map for BOTH directions, sums on the MXU;
+    see _single_pass_cross_kernel). None = exact max-based kernel.
     Returns (m0 (B,H,M,D), m1 (B,H,N,D)) in input dtype.
     """
     b, h, m, d = qk0.shape
     n = qk1.shape[2]
+    if shift is not None:
+        # big query blocks: the strip is written once, so the block size is
+        # bounded only by VMEM (~6 MB fp32 strip budget); power of two so
+        # pick_block can land on it
+        cap = max(6 * 2**20 // (4 * n), 128)
+        block_q = 1 << (cap.bit_length() - 1)
     block_q = flash_ops.pick_block(m, block_q)
     has_mask = valid0 is not None or valid1 is not None
     if has_mask:
@@ -152,13 +233,24 @@ def fused_cross_attention(
         if valid1 is None:
             valid1 = jnp.ones((b, n), bool)
     scale = d**-0.5
-    q0s = qk0 * jnp.asarray(scale, qk0.dtype)
+    if shift is not None:
+        q0s = qk0 * jnp.asarray(scale * flash_ops.LOG2E, qk0.dtype)
+    else:
+        q0s = qk0 * jnp.asarray(scale, qk0.dtype)
     v0a = _augment_v(v0)
     v1a = _augment_v(v1)
 
     n_i = m // block_q
     grid = (b, h, n_i)
-    kernel = functools.partial(_fused_cross_kernel, n_i=n_i, has_mask=has_mask)
+    if shift is not None:
+        kernel = functools.partial(
+            _single_pass_cross_kernel, n_i=n_i,
+            shift2=shift * flash_ops.LOG2E, has_mask=has_mask,
+        )
+    else:
+        kernel = functools.partial(
+            _fused_cross_kernel, n_i=n_i, has_mask=has_mask
+        )
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, i: (ib, ih, i, 0),
@@ -183,10 +275,9 @@ def fused_cross_attention(
         operands += [bias0, bias1]
         kern = kernel
     else:
-        def kern(q0_ref, k1_ref, v0a_ref, v1a_ref, m0_ref, m1_ref, acc_ref,
-                 mrun_ref):
+        def kern(q0_ref, k1_ref, v0a_ref, v1a_ref, m0_ref, m1_ref, *scratch):
             kernel(q0_ref, k1_ref, v0a_ref, v1a_ref, None, None,
-                   m0_ref, m1_ref, acc_ref, mrun_ref)
+                   m0_ref, m1_ref, *scratch)
 
     m0a, m1a = pl.pallas_call(
         kern,
@@ -203,10 +294,14 @@ def fused_cross_attention(
             jax.ShapeDtypeStruct((b, h, m, LANES), qk0.dtype),
             jax.ShapeDtypeStruct((b, h, n, LANES), qk0.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((n, LANES), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((n, LANES), jnp.float32)]
+            if shift is not None
+            else [
+                pltpu.VMEM((n, LANES), jnp.float32),
+                pltpu.SMEM((1, 1), jnp.float32),
+            ]
+        ),
         interpret=interpret,
     )(*operands)
     return m0a[..., :d], m1a[..., :d]

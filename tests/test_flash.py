@@ -183,3 +183,60 @@ def test_fused_cross_and_assignment_384():
     z1 = jnp.asarray(_rand((1, 384), 30))
     out = fasg.fused_filter_matches(md0, md1, z0, z1, 0.1, interpret=True)
     assert out[0].shape == (1, 384)
+
+
+def test_flash_sdpa_fixed_shift():
+    """Constant-shift softmax (exp2 domain) matches the exact path."""
+    q = jnp.asarray(_rand((2, 2, 128, 64), 31)) * 0.5
+    k = jnp.asarray(_rand((2, 2, 128, 64), 32)) * 0.5
+    v = jnp.asarray(_rand((2, 2, 128, 64), 33))
+    valid = jnp.asarray(np.arange(128)[None] < 90).repeat(2, 0)
+    ref = attn_ops.sdpa(q, k, v, valid[:, None, None, :])
+    got = flash.flash_sdpa(q, k, v, valid, interpret=True, shift=8.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_single_pass_cross_fixed_shift():
+    """True single-pass bidirectional cross kernel (one exp2, MXU sums)
+    matches the XLA bidirectional reference, masked and multi-block."""
+    from lightglue_tpu.ops import flash_cross
+
+    B, H, M, N, D = 1, 2, 256, 192, 64
+    qk0 = jnp.asarray(_rand((B, H, M, D), 34)) * 0.5
+    qk1 = jnp.asarray(_rand((B, H, N, D), 35)) * 0.5
+    v0 = jnp.asarray(_rand((B, H, M, D), 36))
+    v1 = jnp.asarray(_rand((B, H, N, D), 37))
+    valid0 = jnp.asarray(np.arange(M)[None] < M - 20)
+    valid1 = jnp.asarray(np.arange(N)[None] < N - 30)
+    mask = valid0[:, None, :, None] & valid1[:, None, None, :]
+    r0, r1 = attn_ops.bidirectional_cross_attention(qk0, qk1, v0, v1, mask)
+    g0, g1 = flash_cross.fused_cross_attention(
+        qk0, qk1, v0, v1, valid0, valid1, interpret=True, shift=8.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(g0)[:, :, : M - 20], np.asarray(r0)[:, :, : M - 20],
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1)[:, :, : N - 30], np.asarray(r1)[:, :, : N - 30],
+        atol=2e-5,
+    )
+    # multi-block accumulation path (block smaller than M)
+    import lightglue_tpu.ops.flash as fl
+
+    orig = fl.pick_block
+    fl.pick_block = lambda n, b: 64
+    try:
+        g0b, g1b = flash_cross.fused_cross_attention(
+            qk0, qk1, v0, v1, valid0, valid1, interpret=True, shift=8.0
+        )
+    finally:
+        fl.pick_block = orig
+    np.testing.assert_allclose(
+        np.asarray(g0b)[:, :, : M - 20], np.asarray(r0)[:, :, : M - 20],
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1b)[:, :, : N - 30], np.asarray(r1)[:, :, : N - 30],
+        atol=2e-5,
+    )
