@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import nn
 from ..configs import ALIKEDConfig
@@ -140,22 +141,30 @@ def _avg_pool(x, k):
     ) / (k * k)
 
 
+def _lerp_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+    """(n_out, n_in) row-stochastic bilinear interpolation matrix for
+    align_corners=True resampling (each row has the two lerp weights)."""
+    ys = np.linspace(0.0, n_in - 1.0, n_out)
+    y0 = np.floor(ys).astype(np.int64)
+    y1 = np.minimum(y0 + 1, n_in - 1)
+    wy = (ys - y0).astype(np.float32)
+    mat = np.zeros((n_out, n_in), np.float32)
+    mat[np.arange(n_out), y0] += 1.0 - wy
+    mat[np.arange(n_out), y1] += wy
+    return jnp.asarray(mat)
+
+
 def _upsample(x, factor):
     """Bilinear x-factor upsample with align_corners=True (reference
-    nn.Upsample(align_corners=True), aliked.py:659-670)."""
+    nn.Upsample(align_corners=True), aliked.py:659-670), expressed as two
+    lerp matmuls so the resampling runs on the MXU instead of full-res XLA
+    row gathers. Identical values: each output is the same 2-point lerp,
+    summed with exact zeros."""
     b, h, w, c = x.shape
-    nh, nw = h * factor, w * factor
-    ys = jnp.linspace(0.0, h - 1.0, nh)
-    xs = jnp.linspace(0.0, w - 1.0, nw)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
-    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    ly = _lerp_matrix(h * factor, h).astype(x.dtype)
+    lx = _lerp_matrix(w * factor, w).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", ly, x)
+    return jnp.einsum("ow,bhwc->bhoc", lx, y)
 
 
 def extract_dense_map(
@@ -164,6 +173,18 @@ def extract_dense_map(
     """(B, H, W, 3) -> (feature_map (B,H,W,dim) L2-normalized,
     score_map (B,H,W)) (reference aliked.py:709-740). H, W must be
     multiples of 32."""
+    fm, sm = _dense_raw(params, image)
+    return nn.l2_normalize(fm, axis=-1), sm
+
+
+def _dense_raw(
+    params: nn.Params, image: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense features WITHOUT the final L2 normalization. ``forward`` uses
+    this and normalizes per gathered row inside SDDH instead — a lerp of
+    normalized corners equals sampling the normalized map, so skipping the
+    dense-normalize pass is exact and saves a full-resolution HBM
+    read+write."""
     x1 = _conv_block(params["block1"], image)
     x2 = _res_block(params["block2"], _avg_pool(x1, 2), False)
     x3 = _res_block(params["block3"], _avg_pool(x2, 4), True)
@@ -193,19 +214,24 @@ def extract_dense_map(
 
 def _gather_patches(maps: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray, r: int):
     """Gather (2r+1)^2 patches from (B, H, W) maps at integer centers
-    (B, K), zero padding outside. Returns (B, K, (2r+1)^2) row-major."""
+    (B, K), zero padding outside. Returns (B, K, (2r+1)^2) row-major.
+
+    One row gather per keypoint from a precomputed neighborhood table of
+    shifted copies (TPU gathers cost per ROW, so (2r+1)^2 scalar gathers per
+    point lose badly to a single (2r+1)^2-wide row)."""
     b, h, w = maps.shape
     ks = 2 * r + 1
-    dy = jnp.repeat(jnp.arange(-r, r + 1), ks)[None, None, :]
-    dx = jnp.tile(jnp.arange(-r, r + 1), ks)[None, None, :]
-    yy = iy[..., None] + dy
-    xx = ix[..., None] + dx
-    inside = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-    idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
-    flat = maps.reshape(b, h * w)
-    vals = jnp.take_along_axis(flat, idx.reshape(b, -1), axis=1)
-    vals = vals.reshape(*idx.shape)
-    return jnp.where(inside, vals, 0.0)
+    mp = jnp.pad(maps, ((0, 0), (r, r), (r, r)))
+    table = jnp.stack(
+        [
+            mp[:, dy : dy + h, dx : dx + w]
+            for dy in range(ks)
+            for dx in range(ks)
+        ],
+        axis=-1,
+    ).reshape(b, h * w, ks * ks)
+    idx = iy * w + ix  # centers always in [0, H) x [0, W)
+    return jnp.take_along_axis(table, idx[..., None], axis=1)
 
 
 def dkd_detect(
@@ -274,9 +300,14 @@ def sddh_describe(
     feature_map: jnp.ndarray,
     keypoints: jnp.ndarray,
     conf: ALIKEDConfig,
+    prenormalized: bool = True,
 ) -> jnp.ndarray:
     """feature_map (B, H, W, C); keypoints (B, K, 2) in pixels.
-    Returns (B, K, C) L2-normalized descriptors."""
+    Returns (B, K, C) L2-normalized descriptors.
+
+    ``prenormalized=False`` accepts the RAW dense map (``_dense_raw``) and
+    L2-normalizes every gathered row on the fly — exactly equivalent to
+    sampling the normalized map, minus the dense normalization pass."""
     b, h, w, c = feature_map.shape
     _, _, _, _, dim, K, M = CFGS[conf.model_name]
     max_offset = max(h, w) / 4.0
@@ -302,6 +333,10 @@ def sddh_describe(
     patches = jnp.take_along_axis(
         flat, idx.reshape(b, -1)[..., None], axis=1
     ).reshape(b, keypoints.shape[1], ps * ps, c)  # (B, Kp, ps^2, C)
+    if not prenormalized:
+        pf = patches.astype(jnp.float32)
+        pn = jnp.linalg.norm(pf, axis=-1, keepdims=True)
+        patches = (pf / jnp.maximum(pn, 1e-12)).astype(patches.dtype)
 
     # --- offset MLP: KxK conv VALID over the patch == tensordot
     w1 = p["offset_conv1"]["w"]  # (K, K, C, 2M) HWIO
@@ -320,7 +355,9 @@ def sddh_describe(
     wh = jnp.asarray([w - 1, h - 1], jnp.float32)
     pos_norm = 2.0 * pos / wh - 1.0
     feats = bilinear_sample(
-        feature_map, pos_norm.reshape(b, -1, 2)
+        feature_map,
+        pos_norm.reshape(b, -1, 2),
+        row_l2_normalize=not prenormalized,
     ).reshape(b, -1, M, c)  # (B, Kp, M, C)
 
     # --- sf_conv (1x1, no bias) + selu + learned aggregation
@@ -344,10 +381,10 @@ def forward(
         image = jnp.repeat(image, 3, axis=-1)
     if conf.mp:
         image = image.astype(jnp.bfloat16)
-    feature_map, score_map = extract_dense_map(params, image)
+    feature_map, score_map = _dense_raw(params, image)
     kpts, kscores, valid = dkd_detect(score_map, conf, image_size)
     descs = sddh_describe(
-        params["desc_head"], feature_map, kpts, conf
+        params["desc_head"], feature_map, kpts, conf, prenormalized=False
     ).astype(jnp.float32)
     return Features(
         keypoints=kpts,

@@ -28,6 +28,7 @@ from .. import nn
 from ..configs import LightGlueConfig
 from ..ops import assignment as asg
 from ..ops import attention as attn_ops
+from ..ops import ffn as ffn_ops
 from ..ops import flash as flash_ops
 from ..ops import assignment_fused as fasg_ops
 from ..ops import flash_cross as flash_cross_ops
@@ -75,6 +76,16 @@ def _ffn(p: nn.Params, x: jnp.ndarray) -> jnp.ndarray:
     y = nn.layer_norm(p["ln"], y)
     y = nn.gelu(y)
     return nn.linear(p["lin2"], y)
+
+
+def _ffn_residual(
+    p: nn.Params, x: jnp.ndarray, message: jnp.ndarray, conf: LightGlueConfig
+) -> jnp.ndarray:
+    """x + FFN(cat[x, message]) — fused Pallas kernel on TPU (zero HBM
+    round-trips for the 2D-wide hidden), XLA composition elsewhere."""
+    if _flash_ok(conf, x.shape[1]):
+        return ffn_ops.fused_ffn_residual(x, message, p)
+    return x + _ffn(p, jnp.concatenate([x, message], axis=-1))
 
 
 def _self_block_init(key, dim: int) -> nn.Params:
@@ -201,7 +212,7 @@ def self_block(
         mask = key_mask[:, None, None, :] if key_mask is not None else None
         context = attn_ops.sdpa(q, k, v, mask)
     message = nn.linear(p["out_proj"], _merge_heads(context))
-    return x + _ffn(p["ffn"], jnp.concatenate([x, message], axis=-1))
+    return _ffn_residual(p["ffn"], x, message, conf)
 
 
 def cross_block(
@@ -241,8 +252,8 @@ def cross_block(
         m0, m1 = attn_ops.bidirectional_cross_attention(qk0, qk1, v0, v1, mask)
     m0 = nn.linear(p["to_out"], _merge_heads(m0))
     m1 = nn.linear(p["to_out"], _merge_heads(m1))
-    x0 = x0 + _ffn(p["ffn"], jnp.concatenate([x0, m0], axis=-1))
-    x1 = x1 + _ffn(p["ffn"], jnp.concatenate([x1, m1], axis=-1))
+    x0 = _ffn_residual(p["ffn"], x0, m0, conf)
+    x1 = _ffn_residual(p["ffn"], x1, m1, conf)
     return x0, x1
 
 

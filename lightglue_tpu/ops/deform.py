@@ -21,31 +21,54 @@ from .. import nn
 
 def _bilinear_gather(x: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray):
     """Sample x (B, H, W, C) at float pixel coords fy/fx (B, ...), zero
-    outside. Returns (B, ..., C)."""
+    outside. Returns (B, ..., C).
+
+    Quad-table formulation: TPU row gathers are the bottleneck (4 gathers
+    per sample, each only C lanes wide). Instead, precompute a corner-quad
+    table T[y, x] = [x(y,x), x(y,x+1), x(y+1,x), x(y+1,x+1)] over a
+    zero-padded grid, so ONE 4C-wide (full-lane) gather fetches all four
+    bilinear corners. Far-outside samples are zeroed through the weights
+    (the clipped table row is wrong there, but its weight is exactly 0);
+    the +-1 ring is zeroed by the table's zero padding itself.
+    """
     b, h, w, c = x.shape
     y0 = jnp.floor(fy)
     x0 = jnp.floor(fx)
     wy = (fy - y0)[..., None]
     wx = (fx - x0)[..., None]
 
-    flat = x.reshape(b, h * w, c)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    hp, wp = h + 1, w + 1  # table covers base corners y in [-1, h-1]
+    quad = jnp.concatenate(
+        [
+            xp[:, :hp, :wp],      # v00 = x[y, x]
+            xp[:, :hp, 1:],       # v01 = x[y, x+1]
+            xp[:, 1:, :wp],       # v10 = x[y+1, x]
+            xp[:, 1:, 1:],        # v11 = x[y+1, x+1]
+        ],
+        axis=-1,
+    ).reshape(b, hp * wp, 4 * c)
 
-    def gather(yi, xi):
-        inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        idx = (yc * w + xc).reshape(b, -1)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        vals = vals.reshape(*yi.shape, c)
-        return jnp.where(inside[..., None], vals, 0.0)
+    yc = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+    xc = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+    idx = (yc * wp + xc).reshape(b, -1)
+    g = jnp.take_along_axis(quad, idx[..., None], axis=1)
+    g = g.reshape(*y0.shape, 4, c)
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    def inside(yi, xi):
+        ok = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        return ok[..., None].astype(x.dtype)
+
+    w00 = (1 - wy) * (1 - wx) * inside(y0, x0)
+    w01 = (1 - wy) * wx * inside(y0, x0 + 1)
+    w10 = wy * (1 - wx) * inside(y0 + 1, x0)
+    w11 = wy * wx * inside(y0 + 1, x0 + 1)
+    return (
+        g[..., 0, :] * w00
+        + g[..., 1, :] * w01
+        + g[..., 2, :] * w10
+        + g[..., 3, :] * w11
+    )
 
 
 def deform_conv2d(
@@ -79,7 +102,9 @@ def deform_conv2d(
     fy = ys - padding + tap_y + dy.astype(jnp.float32)
     fx = xs - padding + tap_x + dx.astype(jnp.float32)
 
-    patches = _bilinear_gather(x, fy, fx)  # (B, H, W, k2, C)
+    # lerp happens in fp32 (weight promotion); contract on the MXU in the
+    # input dtype so bf16 mode stays bf16 end to end
+    patches = _bilinear_gather(x, fy, fx).astype(x.dtype)  # (B, H, W, k2, C)
     if mask is not None:
         patches = patches * mask.reshape(b, h, w, k2, 1).astype(patches.dtype)
     out = jnp.einsum(

@@ -17,11 +17,18 @@ import jax.numpy as jnp
 
 
 def bilinear_sample(
-    fmap: jnp.ndarray, pts: jnp.ndarray, align_corners: bool = True
+    fmap: jnp.ndarray,
+    pts: jnp.ndarray,
+    align_corners: bool = True,
+    row_l2_normalize: bool = False,
 ) -> jnp.ndarray:
     """Sample ``fmap`` (B, H, W, C) at normalized points ``pts`` (B, K, 2) in
     [-1, 1] (x, y) — semantics of grid_sample(mode='bilinear',
     align_corners=True) with zero padding.
+
+    ``row_l2_normalize`` L2-normalizes each gathered corner row before the
+    lerp — identical to sampling an L2-normalized map (lerp of normalized
+    corners) without ever materializing it densely.
 
     Returns (B, K, C).
     """
@@ -46,6 +53,10 @@ def bilinear_sample(
         flat = fmap.reshape(b, h * w, c)
         idx = yc * w + xc  # (B, K)
         vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        if row_l2_normalize:
+            f32 = vals.astype(jnp.float32)
+            n = jnp.linalg.norm(f32, axis=-1, keepdims=True)
+            vals = (f32 / jnp.maximum(n, 1e-12)).astype(vals.dtype)
         return jnp.where(inside[..., None], vals, 0.0)
 
     v00 = gather(y0, x0)

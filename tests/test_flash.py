@@ -240,3 +240,23 @@ def test_single_pass_cross_fixed_shift():
         np.asarray(g1b)[:, :, : N - 30], np.asarray(r1)[:, :, : N - 30],
         atol=2e-5,
     )
+
+
+def test_fused_ffn_residual():
+    """Fused FFN+LN+GELU kernel matches the XLA _ffn composition."""
+    import jax
+
+    from lightglue_tpu import nn
+    from lightglue_tpu.models import lightglue as lg
+    from lightglue_tpu.ops import ffn as ffn_ops
+
+    d = 256
+    p = lg._ffn_init(jax.random.key(0), d)
+    x = jnp.asarray(_rand((2, 384, d), 40))
+    m = jnp.asarray(_rand((2, 384, d), 41))
+    ref = x + lg._ffn(p, jnp.concatenate([x, m], axis=-1))
+    got = ffn_ops.fused_ffn_residual(x, m, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    # non-default block divisor path
+    got2 = ffn_ops.fused_ffn_residual(x, m, p, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=2e-5)
