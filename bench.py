@@ -17,7 +17,10 @@ from the compaction bucket cap, which IS the named config.
 Timing methodology (see .claude/skills/verify/SKILL.md): the axon TPU
 tunnel's block_until_ready can return before execution completes, so work is
 chained inside ONE device program (lax.scan with a forced data dependency)
-and timing ends at a host value fetch.
+and timing ends at a host value fetch. The tunnel also adds a FIXED ~30 ms
+dispatch+fetch overhead per program (measured via an empty-body chain), so
+throughput is the marginal rate between a reps-chain and a 3*reps-chain —
+the steady-state serving rate, not one-shot latency.
 """
 
 import json
@@ -33,37 +36,49 @@ BASELINE = 150.0  # RTX 3080 compiled+adaptive @1024 (reference README:132)
 
 
 def _time_forward(conf, params, inputs, batch, reps=8, tries=3):
+    """Differential chained timing: the tunnel adds a fixed ~30 ms
+    dispatch+fetch overhead per program, so throughput = marginal rate
+    between a reps-chain and a 3*reps-chain (steady-state serving rate)."""
     import jax
     import jax.numpy as jnp
 
     from lightglue_tpu.models import lightglue as lg
 
-    @jax.jit
-    def chained(params, kpts0, kpts1, desc0, desc1, size0, size1):
-        def body(carry, _):
-            out = lg.forward(
-                params, conf,
-                kpts0=kpts0, kpts1=kpts1, desc0=carry, desc1=desc1,
-                size0=size0, size1=size1,
-            )
-            return carry + out.matching_scores0.sum() * 1e-20, out.stop
+    def make(r):
+        @jax.jit
+        def chained(params, kpts0, kpts1, desc0, desc1, size0, size1):
+            def body(carry, _):
+                out = lg.forward(
+                    params, conf,
+                    kpts0=kpts0, kpts1=kpts1, desc0=carry, desc1=desc1,
+                    size0=size0, size1=size1,
+                )
+                return carry + out.matching_scores0.sum() * 1e-20, out.stop
 
-        carry, stops = jax.lax.scan(body, desc0, None, length=reps)
-        # carry must reach the output: on the fixed path `stop` is constant
-        # and XLA would otherwise dead-code-eliminate the whole matcher
-        return stops.sum().astype(jnp.float32) + carry.sum() * 1e-20
+            carry, stops = jax.lax.scan(body, desc0, None, length=r)
+            # carry must reach the output: on the fixed path `stop` is
+            # constant and XLA would otherwise dead-code-eliminate the matcher
+            return stops.sum().astype(jnp.float32) + carry.sum() * 1e-20
+
+        return chained
 
     args = (
         params, inputs["kpts0"], inputs["kpts1"], inputs["desc0"],
         inputs["desc1"], inputs["size0"], inputs["size1"],
     )
-    float(chained(*args))  # compile + warm (host fetch = true completion)
-    best = float("inf")
-    for _ in range(tries):
-        t0 = time.perf_counter()
-        float(chained(*args))
-        best = min(best, time.perf_counter() - t0)
-    return batch * reps / best
+
+    def best_of(fn):
+        float(fn(*args))  # compile + warm (host fetch = true completion)
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(make(reps))
+    t3 = best_of(make(3 * reps))
+    return batch * 2 * reps / max(t3 - t1, 1e-9)
 
 
 def _inputs(m, batch, seed=0):
@@ -103,30 +118,38 @@ def _end_to_end_pairs_per_sec(batch=8, reps=4, tries=3):
     img1 = jnp.asarray(rng.uniform(0, 1, (batch, h, w, 1)).astype(np.float32))
     size = jnp.asarray(np.tile([[float(w), float(h)]], (batch, 1)))
 
-    @jax.jit
-    def chained(img0, img1, size):
-        def body(carry, _):
-            f0 = sp.forward(sparams, sconf, img0 + carry * 1e-20, size)
-            f1 = sp.forward(sparams, sconf, img1, size)
-            out = lg.forward(
-                mparams, mconf,
-                kpts0=f0.keypoints, kpts1=f1.keypoints,
-                desc0=f0.descriptors, desc1=f1.descriptors,
-                size0=size, size1=size,
-                mask0=f0.valid, mask1=f1.valid,
-            )
-            return carry + out.matching_scores0.sum() * 1e-20, out.stop
+    def make(r):
+        @jax.jit
+        def chained(img0, img1, size):
+            def body(carry, _):
+                f0 = sp.forward(sparams, sconf, img0 + carry * 1e-20, size)
+                f1 = sp.forward(sparams, sconf, img1, size)
+                out = lg.forward(
+                    mparams, mconf,
+                    kpts0=f0.keypoints, kpts1=f1.keypoints,
+                    desc0=f0.descriptors, desc1=f1.descriptors,
+                    size0=size, size1=size,
+                    mask0=f0.valid, mask1=f1.valid,
+                )
+                return carry + out.matching_scores0.sum() * 1e-20, out.stop
 
-        carry, stops = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return stops.sum().astype(jnp.float32) + carry * 1e-20
+            carry, stops = jax.lax.scan(body, jnp.float32(0.0), None, length=r)
+            return stops.sum().astype(jnp.float32) + carry * 1e-20
 
-    float(chained(img0, img1, size))
-    best = float("inf")
-    for _ in range(tries):
-        t0 = time.perf_counter()
-        float(chained(img0, img1, size))
-        best = min(best, time.perf_counter() - t0)
-    return batch * reps / best
+        return chained
+
+    def best_of(fn):
+        float(fn(img0, img1, size))
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            float(fn(img0, img1, size))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(make(reps))
+    t3 = best_of(make(3 * reps))
+    return batch * 2 * reps / max(t3 - t1, 1e-9)
 
 
 def main(M=1024, BATCH=None, REPS=8):

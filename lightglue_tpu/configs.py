@@ -173,7 +173,11 @@ class SIFTConfig:
     edge_threshold: float = 10.0
     first_octave: int = -1
     num_octaves: int = 4
-    num_scales_per_octave: int = 3
+    # the reference passes its num_octaves conf as OpenCV's nOctaveLayers
+    # (sift.py:132), so its EFFECTIVE scale space has 4 layers per octave —
+    # the jax backend defaults to the same value so both backends build the
+    # same pyramid (Lowe/OpenCV default would be 3)
+    num_scales_per_octave: int = 4
     resize: int = 1024
 
     def replace(self, **kw) -> "SIFTConfig":

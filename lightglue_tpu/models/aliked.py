@@ -118,8 +118,9 @@ def init_params(key, conf: ALIKEDConfig = ALIKEDConfig()) -> nn.Params:
 
 
 def _conv_block(p, x):
-    x = selu(nn.batch_norm(p["bn1"], nn.conv2d(p["conv1"], x)))
-    x = selu(nn.batch_norm(p["bn2"], nn.conv2d(p["conv2"], x)))
+    # small-channel full-res 3x3 convs: im2col matmul beats XLA conv ~2x
+    x = selu(nn.batch_norm(p["bn1"], nn.conv2d_im2col(p["conv1"], x)))
+    x = selu(nn.batch_norm(p["bn2"], nn.conv2d_im2col(p["conv2"], x)))
     return x
 
 
@@ -127,7 +128,7 @@ def _res_block(p, x, deform: bool):
     conv = (
         (lambda q, y: deformable_conv_block(q, y))
         if deform
-        else (lambda q, y: nn.conv2d(q, y))
+        else (lambda q, y: nn.conv2d_im2col(q, y))
     )
     out = selu(nn.batch_norm(p["bn1"], conv(p["conv1"], x)))
     out = nn.batch_norm(p["bn2"], conv(p["conv2"], out))
@@ -199,9 +200,9 @@ def _dense_raw(
     )
     sh = params["score_head"]
     s = selu(nn.conv2d(sh["0"], x1234))
-    s = selu(nn.conv2d(sh["2"], s))
-    s = selu(nn.conv2d(sh["4"], s))
-    s = nn.conv2d(sh["6"], s)
+    s = selu(nn.conv2d_im2col(sh["2"], s))
+    s = selu(nn.conv2d_im2col(sh["4"], s))
+    s = nn.conv2d_im2col(sh["6"], s)
     score_map = jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
     feature_map = nn.l2_normalize(x1234, axis=-1)
     return feature_map, score_map

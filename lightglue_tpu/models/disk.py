@@ -51,7 +51,9 @@ def _conv_block_init(key, cin, cout, is_first=False):
 
 
 def _conv_block(p, x, is_first=False):
-    if not is_first:
+    # gate presence in the params is authoritative (converted checkpoints
+    # may or may not gate the first block; init follows is_first)
+    if "gate" in p:
         x = _prelu(p["gate"], x)
         x = nn.instance_norm(x)
     return nn.conv2d(p["conv"], x)

@@ -44,9 +44,10 @@ def init_params(key) -> nn.Params:
 
 
 def _input_norm(patches: jnp.ndarray) -> jnp.ndarray:
-    """Per-patch standardization (kornia HardNet._normalize_input)."""
+    """Per-patch standardization (kornia HardNet input norm; torch.std is
+    UNBIASED — ddof=1)."""
     mean = jnp.mean(patches, axis=(1, 2, 3), keepdims=True)
-    std = jnp.std(patches, axis=(1, 2, 3), keepdims=True)
+    std = jnp.std(patches, axis=(1, 2, 3), keepdims=True, ddof=1)
     return (patches - mean) / (std + 1e-6)
 
 

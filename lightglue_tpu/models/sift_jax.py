@@ -37,7 +37,7 @@ from ..configs import SIFTConfig
 
 SIGMA0 = 1.6
 INIT_BLUR = 0.5
-MAX_ORI = 2  # keypoints duplicated for up to this many orientation peaks
+MAX_ORI = 4  # keypoints duplicated for up to this many orientation peaks
 ORI_HIST_BINS = 36
 ORI_SIG_FCTR = 1.5
 ORI_RADIUS_FCTR = 3.0 * ORI_SIG_FCTR
@@ -57,19 +57,19 @@ def _gaussian_kernel(sigma: float) -> np.ndarray:
 
 
 def _gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian on (H, W) with edge-replicate padding (OpenCV
-    BORDER_REFLECT_101 approximated by replicate — differs only in a
-    2-pixel band)."""
+    """Separable Gaussian on (H, W) with BORDER_REFLECT_101 padding (numpy
+    'reflect' == OpenCV's default; border mismatches compound through the
+    s+3 blurs per octave, so this must match exactly)."""
     if sigma <= 0:
         return img
     k = jnp.asarray(_gaussian_kernel(sigma))
     r = (len(k) - 1) // 2
-    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
     x = jax.lax.conv_general_dilated(
         x[None, :, :, None], k[:, None, None, None], (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )[0, :, :, 0]
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
     x = jax.lax.conv_general_dilated(
         x[None, :, :, None], k[None, :, None, None], (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -145,8 +145,10 @@ def _extrema_candidates(dog_stack: jnp.ndarray, n_cand: int, thr: float):
                 nb = shift(dog_stack, -dl, -dy, -dx)
                 is_max &= center >= nb
                 is_min &= center <= nb
+    # OpenCV branches on sign: a "maximum" must be positive, a "minimum"
+    # negative (sift.cpp findScaleSpaceExtrema)
     strong = jnp.abs(center) > thr
-    cand = (is_max | is_min) & strong
+    cand = ((is_max & (center > 0)) | (is_min & (center < 0))) & strong
     # exclude the border (OpenCV SIFT_IMG_BORDER = 5)
     ys = jnp.arange(h)[None, :, None]
     xs = jnp.arange(w)[None, None, :]
@@ -168,11 +170,14 @@ def _extrema_candidates(dog_stack: jnp.ndarray, n_cand: int, thr: float):
 
 
 def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
-    """Quadratic sub-pixel refinement with iterative re-centering (OpenCV
-    adjustLocalExtrema, 3 unrolled steps). Returns refined (layer fp, y fp,
-    x fp, response, valid)."""
+    """Quadratic sub-pixel refinement with iterative re-centering — OpenCV
+    adjustLocalExtrema semantics: up to 5 Newton steps; converge when every
+    |offset| < 0.5; points still moving after 5 steps or stepping outside
+    the border are discarded. Returns (layer fp, y fp, x fp, response,
+    valid)."""
     l, h, w = dog_stack.shape
     s = conf.num_scales_per_octave
+    border = 5  # SIFT_IMG_BORDER
 
     def at(dl, dy, dx):
         return dog_stack[
@@ -181,8 +186,7 @@ def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
             jnp.clip(xi + dx, 0, w - 1),
         ]
 
-    off = None
-    for _ in range(3):
+    def newton_step():
         d = at(0, 0, 0)
         dx1 = (at(0, 0, 1) - at(0, 0, -1)) * 0.5
         dy1 = (at(0, 1, 0) - at(0, -1, 0)) * 0.5
@@ -193,7 +197,7 @@ def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
         dxy = (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1)) * 0.25
         dxs = (at(1, 0, 1) - at(1, 0, -1) - at(-1, 0, 1) + at(-1, 0, -1)) * 0.25
         dys = (at(1, 1, 0) - at(1, -1, 0) - at(-1, 1, 0) + at(-1, -1, 0)) * 0.25
-        H = jnp.stack(
+        hess = jnp.stack(
             [
                 jnp.stack([dxx, dxy, dxs], -1),
                 jnp.stack([dxy, dyy, dys], -1),
@@ -202,31 +206,43 @@ def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
             -2,
         )  # (N, 3, 3)
         g = jnp.stack([dx1, dy1, ds1], -1)  # (N, 3)
-        # solve H off = -g with a guarded inverse
-        det = jnp.linalg.det(H)
-        H_safe = jnp.where(
-            (jnp.abs(det) > 1e-12)[..., None, None], H,
-            jnp.eye(3)[None],
-        )
-        off = -jnp.linalg.solve(H_safe, g[..., None])[..., 0]
-        off = jnp.where((jnp.abs(det) > 1e-12)[..., None], off, 0.0)
-        move = (jnp.abs(off) > 0.5) & (jnp.abs(off) < 10.0)
-        xi = jnp.clip(xi + jnp.where(move[:, 0], jnp.round(off[:, 0]), 0).astype(jnp.int32), 1, w - 2)
-        yi = jnp.clip(yi + jnp.where(move[:, 1], jnp.round(off[:, 1]), 0).astype(jnp.int32), 1, h - 2)
-        li = jnp.clip(li + jnp.where(move[:, 2], jnp.round(off[:, 2]), 0).astype(jnp.int32), 1, l - 2)
+        det = jnp.linalg.det(hess)
+        ok = jnp.abs(det) > 1e-12
+        hess_safe = jnp.where(ok[..., None, None], hess, jnp.eye(3)[None])
+        off = -jnp.linalg.solve(hess_safe, g[..., None])[..., 0]
+        return jnp.where(ok[..., None], off, 0.0), d, g
 
-    converged = jnp.all(jnp.abs(off) < 1.5, axis=-1)
-    d = at(0, 0, 0)
-    g = jnp.stack(
-        [
-            (at(0, 0, 1) - at(0, 0, -1)) * 0.5,
-            (at(0, 1, 0) - at(0, -1, 0)) * 0.5,
-            (at(1, 0, 0) - at(-1, 0, 0)) * 0.5,
-        ],
-        -1,
-    )
-    contr = d + 0.5 * jnp.sum(g * off, axis=-1)
-    valid &= converged
+    converged = jnp.zeros(li.shape, bool)
+    alive = valid
+    off_final = jnp.zeros((li.shape[0], 3))
+    d_final = jnp.zeros(li.shape)
+    g_final = jnp.zeros((li.shape[0], 3))
+    for _ in range(5):  # SIFT_MAX_INTERP_STEPS
+        off, d, g = newton_step()
+        done_now = jnp.all(jnp.abs(off) < 0.5, axis=-1)
+        newly = done_now & ~converged
+        off_final = jnp.where(newly[:, None], off, off_final)
+        d_final = jnp.where(newly, d, d_final)
+        g_final = jnp.where(newly[:, None], g, g_final)
+        converged |= done_now
+        moving = alive & ~converged
+        step = jnp.round(off).astype(jnp.int32)
+        xi_n = xi + jnp.where(moving, step[:, 0], 0)
+        yi_n = yi + jnp.where(moving, step[:, 1], 0)
+        li_n = li + jnp.where(moving, step[:, 2], 0)
+        out = (
+            (li_n < 1) | (li_n > l - 2)
+            | (xi_n < border) | (xi_n >= w - border)
+            | (yi_n < border) | (yi_n >= h - border)
+        )
+        alive &= ~(out & moving)
+        xi = jnp.clip(xi_n, 1, w - 2)
+        yi = jnp.clip(yi_n, 1, h - 2)
+        li = jnp.clip(li_n, 1, l - 2)
+
+    off = off_final
+    contr = d_final + 0.5 * jnp.sum(g_final * off, axis=-1)
+    valid = alive & converged
     valid &= jnp.abs(contr) * s >= conf.detection_threshold * 255.0
     # edge response (2x2 spatial Hessian)
     dxx = at(0, 0, 1) + at(0, 0, -1) - 2 * d
@@ -415,11 +431,18 @@ def extract_single(
     k_total = conf.max_num_keypoints
     gaussians, dogs, n_oct = build_pyramid(image, conf)
     first = conf.first_octave
-    thr_pre = 0.5 * conf.detection_threshold / s * 255.0
+    # OpenCV floors the prefilter threshold (sift.cpp: cvFloor(0.5 * ... *
+    # 255)); without the floor, weak-but-kept extrema in (floor, exact] are
+    # wrongly rejected
+    thr_pre = float(math.floor(0.5 * conf.detection_threshold / s * 255.0))
 
     per_octave = []
-    n_cand = max(64, k_total)
     for o in range(n_oct):
+        # generous per-octave candidate pool: refinement/contrast/edge tests
+        # reject most raw extrema, and a too-small pool loses true keypoints
+        # near the cut. The (doubled) first octave has by far the most raw
+        # extrema; later octaves shrink 4x each.
+        n_cand = max(256, (4 * k_total) >> o)
         dog_stack = jnp.stack(dogs[o])
         li, yi, xi, valid = _extrema_candidates(dog_stack, n_cand, thr_pre)
         fl, fy, fx, resp, valid = _refine(dog_stack, li, yi, xi, valid, conf)

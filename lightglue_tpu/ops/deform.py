@@ -129,7 +129,12 @@ def deformable_conv_block(
     """
     h, w = x.shape[1:3]
     max_offset = max(h, w) / 4.0
-    out = nn.conv2d(p["offset_conv"], x, padding=padding)
+    kh = p["offset_conv"]["w"].shape[0]
+    if padding == (kh - 1) // 2:
+        # offset head has tiny cout (2*k^2=18): im2col matmul beats XLA conv
+        out = nn.conv2d_im2col(p["offset_conv"], x)
+    else:
+        out = nn.conv2d(p["offset_conv"], x, padding=padding)
     if use_mask:
         k2 = out.shape[-1] // 3
         o1, o2, m = out[..., :k2], out[..., k2:2 * k2], out[..., 2 * k2:]

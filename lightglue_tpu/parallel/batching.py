@@ -83,7 +83,8 @@ def make_batched_matcher(
     """
     in_shardings = None
     if mesh is not None:
-        data = NamedSharding(mesh, P("data"))
+        # batch axis spans ALL mesh axes (1-D ICI or 2-D DCN x ICI)
+        data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         repl = NamedSharding(mesh, P())
 
     def fwd(params, kpts0, kpts1, desc0, desc1, mask0, mask1, size0, size1,

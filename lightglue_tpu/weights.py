@@ -226,47 +226,153 @@ def convert_aliked(sd: Dict[str, np.ndarray]) -> dict:
     }
 
 
-def convert_hardnet(sd: Dict[str, np.ndarray]) -> dict:
-    """Convert a kornia/original HardNet state dict (``features.N.*``;
-    BatchNorms are affine=False — running stats only)."""
-    conv_idx = [0, 3, 6, 9, 12, 15, 19]
-    bn_idx = [1, 4, 7, 10, 13, 16, 20]
+def convert_hardnet(sd: Dict[str, np.ndarray], strict: bool = True) -> dict:
+    """Convert a kornia/original HardNet state dict (``features.{i}.*``
+    Sequential indexing; reference dog_hardnet.py:13 loads kornia HardNet).
+
+    Conv/BN slots are DISCOVERED from the keys (a conv has a 4-d
+    ``.weight``, a BN has ``.running_mean``) instead of hardcoding
+    Sequential indices, so layout shifts (e.g. around the Dropout slot)
+    cannot silently misalign the mapping. ``strict`` requires exactly the
+    7 conv + 7 BN stages of the published architecture, validates every
+    shape against models/hardnet._STAGES, and refuses leftover tensors.
+    """
+    from .models.hardnet import _STAGES
+
+    feat_keys = [k for k in sd if k.startswith("features.")]
+    idxs = sorted({int(k.split(".")[1]) for k in feat_keys})
+    convs = [i for i in idxs if sd.get(f"features.{i}.weight") is not None
+             and np.asarray(sd[f"features.{i}.weight"]).ndim == 4]
+    bns = [i for i in idxs if f"features.{i}.running_mean" in sd]
+    if strict and (len(convs) != 7 or len(bns) != 7):
+        raise ValueError(
+            f"HardNet layout mismatch: found {len(convs)} convs / "
+            f"{len(bns)} BNs at features.{convs}/{bns}, expected 7+7"
+        )
+    expected = [(ci, co, ks) for (ci, co, ks, _) in _STAGES] + [(128, 128, 8)]
+    consumed = set()
     p = {}
-    for i, (ci, bi) in enumerate(zip(conv_idx, bn_idx)):
-        name = f"conv{i}" if i < 6 else "conv6"
-        bname = f"bn{i}" if i < 6 else "bn6"
+    for n, (ci, bi) in enumerate(zip(convs, bns)):
+        if strict and bi <= ci:
+            raise ValueError(f"BN features.{bi} precedes conv features.{ci}")
+        name = f"conv{n}" if n < 6 else "conv6"
+        bname = f"bn{n}" if n < 6 else "bn6"
         p[name] = _conv(sd, f"features.{ci}")
-        dim = sd[f"features.{bi}.running_mean"].shape[0]
+        w = np.asarray(sd[f"features.{ci}.weight"])  # OIHW
+        if strict:
+            eci, eco, eks = expected[n]
+            got = (w.shape[1], w.shape[0], w.shape[2])
+            if got != (eci, eco, eks):
+                raise ValueError(
+                    f"conv features.{ci} shape {got} != expected "
+                    f"(in,out,k)={(eci, eco, eks)}"
+                )
+        consumed.add(f"features.{ci}.weight")
+        dim = np.asarray(sd[f"features.{bi}.running_mean"]).shape[0]
+        # affine BN params if present (kornia uses affine=False -> absent)
+        scale = sd.get(f"features.{bi}.weight")
+        bias = sd.get(f"features.{bi}.bias")
         p[bname] = {
-            "scale": jnp.ones((dim,), jnp.float32),
-            "bias": jnp.zeros((dim,), jnp.float32),
+            "scale": jnp.asarray(scale) if scale is not None
+            else jnp.ones((dim,), jnp.float32),
+            "bias": jnp.asarray(bias) if bias is not None
+            else jnp.zeros((dim,), jnp.float32),
             "mean": jnp.asarray(sd[f"features.{bi}.running_mean"]),
             "var": jnp.asarray(sd[f"features.{bi}.running_var"]),
         }
+        consumed |= {
+            f"features.{bi}.running_mean", f"features.{bi}.running_var",
+        }
+        if scale is not None:
+            consumed.add(f"features.{bi}.weight")
+        if bias is not None:
+            consumed.add(f"features.{bi}.bias")
+    if strict:
+        leftover = [
+            k for k in sd
+            if k not in consumed and not k.endswith("num_batches_tracked")
+        ]
+        if leftover:
+            raise ValueError(f"unconsumed HardNet tensors: {leftover[:8]}")
     return p
 
 
-def convert_disk(sd: Dict[str, np.ndarray], desc_dim: int = 128) -> dict:
-    """Best-effort converter for kornia DISK checkpoints
-    (``unet.path_down.{i}`` / ``unet.path_up.{i}`` thin-U-Net naming).
-    Written blind against kornia 0.7 — validate on a real checkpoint."""
-    def blk(prefix, is_first=False):
+def convert_disk(
+    sd: Dict[str, np.ndarray], desc_dim: int = 128, strict: bool = True
+) -> dict:
+    """Converter for kornia DISK checkpoints (``unet.path_down.{i}`` /
+    ``unet.path_up.{i}`` thin-U-Net naming from the upstream DISK repo's
+    ``unets`` package; reference disk.py:26 loads kornia's port).
+
+    Layout-shift-robust: within each block prefix the conv is the unique
+    4-d ``.weight`` and the PReLU gate the unique 1-d tensor whose size
+    equals the conv's input channels — Sequential indices are never
+    assumed. ``strict`` validates the channel plan (down [16,32,64,64,64],
+    up [64,64,64,desc_dim+1] with skip concatenation), requires an
+    unambiguous gate candidate, and refuses leftover tensors, so a real
+    checkpoint whose layout differs from this reconstruction fails loudly
+    instead of converting wrong.
+    """
+    from .models.disk import DOWN, UP
+
+    consumed = set()
+
+    def blk(prefix, cin, cout, gate_ch):
         p = {}
-        # kornia ConvBlock is a Sequential: [gate, norm, conv] (or [conv]
-        # when first); the conv is the last indexed child with a weight.
-        conv_keys = [k for k in sd if k.startswith(prefix) and k.endswith(".weight") and sd[k].ndim == 4]
-        conv_keys.sort()
+        conv_keys = sorted(
+            k for k in sd
+            if k.startswith(prefix) and k.endswith(".weight")
+            and np.asarray(sd[k]).ndim == 4
+        )
+        if strict and len(conv_keys) != 1:
+            raise ValueError(
+                f"{prefix}: expected exactly 1 conv weight, got {conv_keys}"
+            )
         ck = conv_keys[-1][: -len(".weight")]
+        w = np.asarray(sd[ck + ".weight"])  # OIHW
+        if strict and (w.shape[1], w.shape[0]) != (cin, cout):
+            raise ValueError(
+                f"{ck}: conv (in,out)=({w.shape[1]},{w.shape[0]}) != "
+                f"expected ({cin},{cout})"
+            )
         p["conv"] = _conv(sd, ck)
-        gate_keys = [k for k in sd if k.startswith(prefix) and "weight" in k and sd[k].ndim == 1]
-        if not is_first and gate_keys:
-            p["gate"] = {"alpha": jnp.asarray(sd[sorted(gate_keys)[0]])}
-        elif not is_first:
-            p["gate"] = {"alpha": jnp.full((sd[ck + ".weight"].shape[1],), 0.25, jnp.float32)}
+        consumed.add(ck + ".weight")
+        if ck + ".bias" in sd:
+            consumed.add(ck + ".bias")
+        gate_keys = sorted(
+            k for k in sd
+            if k.startswith(prefix) and np.asarray(sd[k]).ndim == 1
+            and np.asarray(sd[k]).shape[0] == gate_ch
+            and k not in consumed
+        )
+        if gate_keys:
+            if strict and len(gate_keys) > 1:
+                raise ValueError(
+                    f"{prefix}: ambiguous 1-d tensors {gate_keys} — "
+                    "cannot identify the PReLU gate"
+                )
+            p["gate"] = {"alpha": jnp.asarray(sd[gate_keys[0]])}
+            consumed.add(gate_keys[0])
         return p
 
-    down = {str(i): blk(f"unet.path_down.{i}.", is_first=(i == 0)) for i in range(5)}
-    up = {str(i): blk(f"unet.path_up.{i}.") for i in range(4)}
+    down = {}
+    cin = 3
+    for i, cout in enumerate(DOWN):
+        down[str(i)] = blk(f"unet.path_down.{i}.", cin, cout, gate_ch=cin)
+        cin = cout
+    up = {}
+    ups = UP + [desc_dim + 1]
+    for i, cout in enumerate(ups):
+        full_cin = cin + DOWN[len(DOWN) - 2 - i]  # upsampled + skip concat
+        up[str(i)] = blk(f"unet.path_up.{i}.", full_cin, cout, gate_ch=full_cin)
+        cin = cout
+    if strict:
+        leftover = [
+            k for k in sd
+            if k not in consumed and not k.endswith("num_batches_tracked")
+        ]
+        if leftover:
+            raise ValueError(f"unconsumed DISK tensors: {leftover[:8]}")
     return {"down": down, "up": up}
 
 

@@ -137,13 +137,19 @@ def main():
     def score(x, c):
         sh = params["score_head"]
         s = aliked.selu(aliked.nn.conv2d(sh["0"], x + c.astype(x.dtype) * 1e-20))
-        s = aliked.selu(aliked.nn.conv2d(sh["2"], s))
-        s = aliked.selu(aliked.nn.conv2d(sh["4"], s))
-        s = aliked.nn.conv2d(sh["6"], s)
+        s = aliked.selu(aliked.nn.conv2d_im2col(sh["2"], s))
+        s = aliked.selu(aliked.nn.conv2d_im2col(sh["4"], s))
+        s = aliked.nn.conv2d_im2col(sh["6"], s)
         sm = jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
         return c + sm.sum() * 1e-20
 
-    print(f"score head         : {timed(score, x1234v):8.2f} ms")
+    print(f"score head (im2col): {timed(score, x1234v):8.2f} ms")
+
+    def draw(image, c):
+        fm, sm = aliked._dense_raw(params, image + c.astype(image.dtype) * 1e-20)
+        return c + fm.sum().astype(jnp.float32) * 1e-20 + sm.sum() * 1e-20
+
+    print(f"_dense_raw         : {timed(draw, img_bf):8.2f} ms")
 
     # --- DKD + SDDH on a precomputed dense map
     fm, sm = jax.jit(lambda i: aliked.extract_dense_map(params, i))(img_bf)

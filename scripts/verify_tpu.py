@@ -99,6 +99,19 @@ def main():
         err = np.abs(k_tpu[0][v] - k_cpu[0][v]).max()
         print(f"ALIKED kpts (bf16 TPU vs fp32 CPU) n={int(v.sum())} max|dxy|={err:.3f}")
     print("ALIKED valid:", int(np.asarray(fa.valid).sum()))
+
+    # JAX SIFT end-to-end on TPU (scale-space pipeline, refine, descriptors)
+    from lightglue_tpu.configs import SIFTConfig
+    from lightglue_tpu.models import sift_jax
+
+    gray = jnp.asarray(rng.uniform(0, 1, (96, 128)).astype(np.float32))
+    sconf = SIFTConfig(max_num_keypoints=128)
+    sout = jax.jit(sift_jax.extract_single, static_argnames=("conf",))(
+        gray, sconf
+    )
+    sd = np.asarray(sout["descriptors"])
+    assert np.isfinite(sd).all() and np.isfinite(np.asarray(sout["keypoints"])).all()
+    print("JAX SIFT valid:", int(np.asarray(sout["valid"]).sum()))
     print("VERIFY OK")
 
 
