@@ -136,6 +136,7 @@ class DISKConfig:
     pad_if_not_divisible: bool = True
     resize: int = 1024
     approx_topk: float = 0.0  # see SuperPointConfig.approx_topk
+    mp: bool = False  # bfloat16 U-Net (fp32 heatmap/top-k/descriptor norm)
 
     def replace(self, **kw) -> "DISKConfig":
         return dataclasses.replace(self, **kw)

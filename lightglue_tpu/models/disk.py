@@ -159,6 +159,8 @@ def forward(
     """(B, H, W, C) -> static-k Features. H, W multiples of 16."""
     if image.shape[-1] == 1:
         image = jnp.repeat(image, 3, axis=-1)
+    if conf.mp:
+        image = image.astype(jnp.bfloat16)
     out = unet_forward(params, image)
     desc_map = out[..., : conf.desc_dim]
     heatmap = out[..., conf.desc_dim].astype(jnp.float32)
@@ -167,7 +169,8 @@ def forward(
     idx = (kpts[..., 1].astype(jnp.int32) * w + kpts[..., 0].astype(jnp.int32))
     flat = desc_map.reshape(b, h * w, conf.desc_dim)
     descs = jnp.take_along_axis(flat, idx[..., None], axis=1)
-    descs = nn.l2_normalize(descs, axis=-1)
+    # mp mode: only the K gathered rows are promoted; the norm runs fp32
+    descs = nn.l2_normalize(descs.astype(jnp.float32), axis=-1)
     return Features(
         keypoints=kpts,
         keypoint_scores=kscores,

@@ -49,9 +49,11 @@ def timed(fn, *args, reps=8, tries=3):
 
 
 def main():
-    h = int(sys.argv[1]) if len(sys.argv) > 1 else 768
-    w = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    prod_only = "--prod" in sys.argv or "--b4" in sys.argv
+    h = int(args[0]) if len(args) > 0 else 768
+    w = int(args[1]) if len(args) > 1 else 1024
+    k = int(args[2]) if len(args) > 2 else 1024
 
     conf = ALIKEDConfig(max_num_keypoints=k, mp=True)
     params = aliked.init_params(jax.random.key(0), conf)
@@ -60,19 +62,29 @@ def main():
     img_bf = img.astype(jnp.bfloat16) if conf.mp else img
     size = jnp.asarray([[float(w), float(h)]])
 
+    if prod_only:
+        _prod_stages(params, conf, img, size, h, w, k, rng)
+        return
+
+    stages = {}
+
+    def rec(name, val):
+        stages[name] = round(val, 2)
+        print(f"{name:19s}: {val:8.2f} ms")
+
     # --- full forward
     def full(image, size, c):
         f = aliked.forward(params, conf, image + c * 1e-20, size)
         return c + f.descriptors.sum().astype(jnp.float32) * 1e-20 + f.keypoints.sum().astype(jnp.float32) * 1e-20
 
-    print(f"full forward       : {timed(full, img, size):8.2f} ms")
+    rec("full_forward", timed(full, img, size))
 
     # --- dense map (encoder + aggregation + score head + l2norm)
     def dense(image, c):
         fm, sm = aliked.extract_dense_map(params, image + c.astype(image.dtype) * 1e-20)
         return c + fm.sum().astype(jnp.float32) * 1e-20 + sm.sum().astype(jnp.float32) * 1e-20
 
-    print(f"extract_dense_map  : {timed(dense, img_bf):8.2f} ms")
+    rec("extract_dense_map", timed(dense, img_bf))
 
     # --- encoder blocks only
     def enc(image, c):
@@ -85,7 +97,7 @@ def main():
                 + x3.sum().astype(jnp.float32) * 1e-20
                 + x4.sum().astype(jnp.float32) * 1e-20)
 
-    print(f"encoder (b1-b4)    : {timed(enc, img_bf):8.2f} ms")
+    rec("encoder_b1_b4", timed(enc, img_bf))
 
     # --- block3 deform res block alone (dominant round-1 cost)
     x2_shape = (1, h // 8, w // 8, {"aliked-n16": 32}.get(conf.model_name, 32))
@@ -97,7 +109,7 @@ def main():
         y = aliked._res_block(params["block3"], x + c.astype(x.dtype) * 1e-20, True)
         return c + y.sum().astype(jnp.float32) * 1e-20
 
-    print(f"block3 (deform res): {timed(b3, x2v):8.2f} ms")
+    rec("block3_deform", timed(b3, x2v))
 
     x3_shape = (1, h // 32, w // 32, 64)
     x3v = jnp.asarray(
@@ -108,7 +120,7 @@ def main():
         y = aliked._res_block(params["block4"], x + c.astype(x.dtype) * 1e-20, True)
         return c + y.sum().astype(jnp.float32) * 1e-20
 
-    print(f"block4 (deform res): {timed(b4, x3v):8.2f} ms")
+    rec("block4_deform", timed(b4, x3v))
 
     # --- aggregation (conv1-4 + upsample + concat) and score head, isolated
     def agg(image, c):
@@ -127,7 +139,7 @@ def main():
         )
         return c + x1234.sum().astype(jnp.float32) * 1e-20
 
-    print(f"enc+agg (no score) : {timed(agg, img_bf):8.2f} ms")
+    rec("enc_plus_agg", timed(agg, img_bf))
 
     dim = 128 if conf.model_name != "aliked-t16" else 64
     x1234v = jnp.asarray(
@@ -143,13 +155,13 @@ def main():
         sm = jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
         return c + sm.sum() * 1e-20
 
-    print(f"score head (im2col): {timed(score, x1234v):8.2f} ms")
+    rec("score_head", timed(score, x1234v))
 
     def draw(image, c):
         fm, sm = aliked._dense_raw(params, image + c.astype(image.dtype) * 1e-20)
         return c + fm.sum().astype(jnp.float32) * 1e-20 + sm.sum() * 1e-20
 
-    print(f"_dense_raw         : {timed(draw, img_bf):8.2f} ms")
+    rec("dense_raw", timed(draw, img_bf))
 
     # --- DKD + SDDH on a precomputed dense map
     fm, sm = jax.jit(lambda i: aliked.extract_dense_map(params, i))(img_bf)
@@ -160,7 +172,7 @@ def main():
         kpts, ks, valid = aliked.dkd_detect(sm_ + c * 1e-20, conf, size)
         return c + kpts.sum() * 1e-20 + ks.sum() * 1e-20
 
-    print(f"dkd_detect         : {timed(dkd, sm):8.2f} ms")
+    rec("dkd_detect", timed(dkd, sm))
 
     kpts, _, _ = jax.jit(lambda s: aliked.dkd_detect(s, conf, size))(sm)
     kpts = jax.block_until_ready(kpts)
@@ -171,7 +183,51 @@ def main():
         )
         return c + d.sum().astype(jnp.float32) * 1e-20
 
-    print(f"sddh_describe      : {timed(sddh, fm, kpts):8.2f} ms")
+    rec("sddh_describe", timed(sddh, fm, kpts))
+
+    _prod_stages(params, conf, img, size, h, w, k, rng, stages)
+
+
+def _prod_stages(params, conf, img, size, h, w, k, rng, stages=None):
+    """Production-config numbers.
+
+    Measured 2026-08: approx_max_k (approx_topk=0.95) is a ~2x
+    PESSIMIZATION for ALIKED at 1024x768 (32.4 vs 15.2 ms) — the
+    production config keeps exact top_k.
+    """
+    import jax.numpy as jnp
+
+    def full_f(image, size_, c):
+        f = aliked.forward(params, conf, image + c * 1e-20, size_)
+        return (c + f.descriptors.sum().astype(jnp.float32) * 1e-20
+                + f.keypoints.sum().astype(jnp.float32) * 1e-20)
+
+    import json
+    art = {
+        "model": conf.model_name, "image": f"{w}x{h}", "kpts": k,
+        "mp": conf.mp, "unit": "ms (differential chained timing, v5e)",
+    }
+    if stages:
+        art["stages"] = stages
+    if "--b4" in sys.argv:
+        # batched serving rate: per-image marginal cost at B=4
+        imgb = jnp.asarray(rng.uniform(0, 1, (4, h, w, 3)).astype(np.float32))
+        sizeb = jnp.asarray(np.tile([[float(w), float(h)]], (4, 1)))
+        t_b4 = timed(full_f, imgb, sizeb, reps=2, tries=2) / 4.0
+        print(f"full fwd B4        : {t_b4:8.2f} ms/image")
+        art["full_forward_B4_per_image"] = round(t_b4, 2)
+    else:
+        t_full = timed(full_f, img, size)
+        print(f"full fwd (prod)    : {t_full:8.2f} ms")
+        art["full_forward_B1"] = round(t_full, 2)
+    out = Path(__file__).parent.parent / "benchmarks" / "aliked_breakdown.json"
+    out.parent.mkdir(exist_ok=True)
+    prev = {}
+    if out.exists():
+        prev = json.loads(out.read_text())
+    prev.update(art)
+    out.write_text(json.dumps(prev, indent=1))
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
