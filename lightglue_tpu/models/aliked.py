@@ -199,13 +199,14 @@ def _dense_raw(
         [x1, _upsample(x2, 2), _upsample(x3, 8), _upsample(x4, 32)], axis=-1
     )
     sh = params["score_head"]
+    # tiny-cout 3x3 convs: tap-matmul keeps the 9*cout<=36 partial products
+    # in one lane tile instead of a lane-starved conv (see nn.conv2d_tapmat)
     s = selu(nn.conv2d(sh["0"], x1234))
-    s = selu(nn.conv2d_im2col(sh["2"], s))
-    s = selu(nn.conv2d_im2col(sh["4"], s))
-    s = nn.conv2d_im2col(sh["6"], s)
+    s = selu(nn.conv2d_tapmat(sh["2"], s))
+    s = selu(nn.conv2d_tapmat(sh["4"], s))
+    s = nn.conv2d_tapmat(sh["6"], s)
     score_map = jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
-    feature_map = nn.l2_normalize(x1234, axis=-1)
-    return feature_map, score_map
+    return x1234, score_map
 
 
 # ---------------------------------------------------------------------------
@@ -383,6 +384,12 @@ def forward(
     if conf.mp:
         image = image.astype(jnp.bfloat16)
     feature_map, score_map = _dense_raw(params, image)
+    # materialize the dense maps ONCE: without this barrier XLA duplicates
+    # the aggregation chain into each gather consumer (score lookup, SDDH
+    # patches, offset samples) — measured +5.6 ms at 1024x768
+    feature_map, score_map = jax.lax.optimization_barrier(
+        (feature_map, score_map)
+    )
     kpts, kscores, valid = dkd_detect(score_map, conf, image_size)
     descs = sddh_describe(
         params["desc_head"], feature_map, kpts, conf, prenormalized=False

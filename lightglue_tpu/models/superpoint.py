@@ -134,6 +134,9 @@ def forward(
     per-image, sift.py:207-210).
     """
     scores, desc_map = dense_forward(params, image, mp=conf.mp)
+    # materialize once — XLA otherwise may duplicate the shared VGG trunk
+    # into the detector and descriptor consumers (see aliked.forward)
+    scores, desc_map = jax.lax.optimization_barrier((scores, desc_map))
     scores = simple_nms(scores, conf.nms_radius)
     # border removal (superpoint.py:181-186): set border band to -1,
     # measured from the true image extent when padded

@@ -149,9 +149,9 @@ def main():
     def score(x, c):
         sh = params["score_head"]
         s = aliked.selu(aliked.nn.conv2d(sh["0"], x + c.astype(x.dtype) * 1e-20))
-        s = aliked.selu(aliked.nn.conv2d_im2col(sh["2"], s))
-        s = aliked.selu(aliked.nn.conv2d_im2col(sh["4"], s))
-        s = aliked.nn.conv2d_im2col(sh["6"], s)
+        s = aliked.selu(aliked.nn.conv2d_tapmat(sh["2"], s))
+        s = aliked.selu(aliked.nn.conv2d_tapmat(sh["4"], s))
+        s = aliked.nn.conv2d_tapmat(sh["6"], s)
         sm = jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
         return c + sm.sum() * 1e-20
 

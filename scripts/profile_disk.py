@@ -54,8 +54,9 @@ def main():
 
     for name, conf in [
         ("disk_fp32", DISKConfig(max_num_keypoints=k)),
-        ("disk_bf16_approx", DISKConfig(max_num_keypoints=k, mp=True,
-                                        approx_topk=0.95)),
+        # NOTE approx_topk measured as a pessimization for full-res top-k
+        # (same finding as ALIKED): keep exact top_k in the prod config
+        ("disk_bf16", DISKConfig(max_num_keypoints=k, mp=True)),
     ]:
         params = disk.init_params(jax.random.key(0), conf)
 
