@@ -199,9 +199,29 @@ def _dense_raw(
         [x1, _upsample(x2, 2), _upsample(x3, 8), _upsample(x4, 32)], axis=-1
     )
     sh = params["score_head"]
+    # score conv "0" is 1x1 on the concat; a channel matmul commutes with
+    # the (channel-wise linear) lerp upsample, so apply each 32-ch slice of
+    # W0 at its branch's NATIVE resolution and upsample the 8-ch partial
+    # sums instead of re-reading the 128-ch full-res concat. Exact.
+    w0 = sh["0"]["w"][0, 0]  # (dim, 8), no bias in the reference head
+    c = x1.shape[-1]
+    s0 = jax.lax.dot_general(
+        x1, w0[:c].astype(x1.dtype), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for xi, up in ((x2, 2), (x3, 8), (x4, 32)):
+        si = jax.lax.dot_general(
+            xi, w0[c : c + xi.shape[-1]].astype(xi.dtype),
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xi.dtype)
+        c += xi.shape[-1]
+        s0 = s0 + _upsample(si, up).astype(jnp.float32)
+    if "b" in sh["0"]:
+        s0 = s0 + sh["0"]["b"].astype(jnp.float32)
     # tiny-cout 3x3 convs: tap-matmul keeps the 9*cout<=36 partial products
     # in one lane tile instead of a lane-starved conv (see nn.conv2d_tapmat)
-    s = selu(nn.conv2d(sh["0"], x1234))
+    s = selu(s0.astype(x1.dtype))
     s = selu(nn.conv2d_tapmat(sh["2"], s))
     s = selu(nn.conv2d_tapmat(sh["4"], s))
     s = nn.conv2d_tapmat(sh["6"], s)

@@ -3,6 +3,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from lightglue_tpu.ops import assignment as asg
@@ -188,3 +189,40 @@ def test_pad_to_length():
     assert y.shape == (1, 16, 4)
     assert mask.shape == (1, 16, 1)
     assert np.asarray(mask).sum() == 10
+
+
+def test_topk2d_matches_monolithic():
+    from lightglue_tpu.ops.topk import topk2d
+
+    rng = np.random.default_rng(0)
+    for shape, k in [((2, 16, 32), 20), ((1, 8, 8), 8), ((1, 64, 48), 100)]:
+        s = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        vr, ir = jax.lax.top_k(s.reshape(shape[0], -1), k)
+        v2, i2 = topk2d(s, k, cap=4)
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(vr))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ir))
+
+
+def test_topk2d_ties_and_concentration_fall_back_exact():
+    from lightglue_tpu.ops.topk import topk2d
+
+    # all-equal map: every selection is a tie -> must match monolithic order
+    s = jnp.zeros((1, 8, 16), jnp.float32)
+    vr, ir = jax.lax.top_k(s.reshape(1, -1), 12)
+    v2, i2 = topk2d(s, 12, cap=2)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ir))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vr))
+
+    # top-k concentrated in ONE row (more than cap winners per row)
+    s = jnp.zeros((1, 8, 16), jnp.float32).at[0, 3].set(
+        jnp.arange(16, dtype=jnp.float32) + 10.0
+    )
+    vr, ir = jax.lax.top_k(s.reshape(1, -1), 12)
+    v2, i2 = topk2d(s, 12, cap=2)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ir))
+
+    # -inf masked map with fewer than k finite entries
+    s = jnp.full((1, 8, 16), -jnp.inf).at[0, 2, 3].set(1.0).at[0, 5, 7].set(2.0)
+    vr, ir = jax.lax.top_k(s.reshape(1, -1), 6)
+    v2, i2 = topk2d(s, 6, cap=2)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vr))
