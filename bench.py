@@ -106,7 +106,10 @@ def _end_to_end_pairs_per_sec(batch=8, reps=4, tries=3):
     from lightglue_tpu.models import superpoint as sp
 
     h, w, k = 768, 1024, 1024
-    sconf = SuperPointConfig(max_num_keypoints=k)
+    # production extraction config: bf16 + approx top-k (faster for
+    # SuperPoint's post-NMS sparse map; exact top_k stays default for
+    # ALIKED/DISK where approx_max_k measured slower)
+    sconf = SuperPointConfig(max_num_keypoints=k, mp=True, approx_topk=0.95)
     sparams = sp.init_params(jax.random.key(1), sconf)
     mconf = lightglue_config(
         "superpoint", mp=True, compaction_bucket=256, compaction_prefix=1,
@@ -196,11 +199,13 @@ def main(M=1024, BATCH=None, REPS=8):
     ] = round(headline, 1)
     if not tiny:
         try:
-            detail["end-to-end SuperPoint x2 + match B8"] = round(
+            detail["end-to-end SuperPoint(bf16,approx) x2 + match B8"] = round(
                 _end_to_end_pairs_per_sec(), 1
             )
         except Exception as e:  # informational; never kill bench
-            detail["end-to-end SuperPoint x2 + match B8"] = f"FAIL {e}"[:200]
+            detail["end-to-end SuperPoint(bf16,approx) x2 + match B8"] = (
+                f"FAIL {e}"[:200]
+            )
 
     out_dir = Path(__file__).parent / "benchmarks"
     out_dir.mkdir(exist_ok=True)

@@ -102,12 +102,19 @@ def unet_trunk(params: nn.Params, image: jnp.ndarray) -> jnp.ndarray:
     full-res (desc_dim+1)-channel 5x5 conv (measured 8.2 ms -> ~0.5 ms at
     1024x768)."""
     feats = []
-    x = image
     n = len(DOWN)
-    for i in range(n):
-        if i > 0:
-            x = _avg_pool2(x)
-        x = _conv_block(params["down"][str(i)], x, is_first=(i == 0))
+    # down0 (ungated 5x5 conv at full res, small cout) via the phase-packed
+    # stride-2 formulation: measured 1.8 -> 1.0 ms at 1024x768 (see
+    # nn.conv2d_phases); exact
+    p0 = params["down"]["0"]
+    if "gate" in p0:  # converted checkpoints may gate block 0
+        x = _conv_block(p0, image, is_first=False)
+    else:
+        x = nn.depth_to_space2(nn.conv2d_phases(p0["conv"], image))
+    feats.append(x)
+    for i in range(1, n):
+        x = _avg_pool2(x)
+        x = _conv_block(params["down"][str(i)], x, is_first=False)
         feats.append(x)
     y = feats[-1]
     for i in range(len(UP)):

@@ -137,7 +137,7 @@ def main():
     print(f"f) im2col 75->16       : {timed(im2col0, x3):8.2f} ms")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--s2d" not in sys.argv and "--extra" not in sys.argv and "--pack" not in sys.argv and "--phases" not in sys.argv:
     main()
 
 
@@ -201,3 +201,126 @@ def extra():
 
 if "--extra" in sys.argv:
     extra()
+
+
+def s2d_bench():
+    """i/j) space-to-depth formulation for down0 3->16 5x5 @full res."""
+    from lightglue_tpu import nn as lnn
+    h, w = 768, 1024
+    dtype = jnp.float32 if "--fp32" in sys.argv else jnp.bfloat16
+    rng = np.random.default_rng(0)
+    x3 = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32)).astype(dtype)
+    p0 = {"w": jnp.asarray(rng.standard_normal((5, 5, 3, 16)).astype(np.float32)).astype(dtype),
+          "b": jnp.asarray(rng.standard_normal((16,)).astype(np.float32)).astype(dtype)}
+
+    def s2d_full(x, c):
+        xp = lnn.space_to_depth2(x + c.astype(x.dtype) * 1e-20)
+        y = lnn.conv2d_s2d(p0, xp)
+        y = lnn.depth_to_space2(y)
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"i) s2d pack+conv+unpack: {timed(s2d_full, x3):8.2f} ms")
+
+    xp = lnn.space_to_depth2(x3)
+
+    def s2d_only(x, c):
+        y = lnn.conv2d_s2d(p0, x + c.astype(x.dtype) * 1e-20)
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"j) s2d conv only       : {timed(s2d_only, xp):8.2f} ms")
+
+    # 16->16 3x3 at full res, packed
+    p1 = {"w": jnp.asarray(rng.standard_normal((3, 3, 16, 16)).astype(np.float32)).astype(dtype)}
+    x16 = jnp.asarray(rng.standard_normal((1, h // 2, w // 2, 64)).astype(np.float32)).astype(dtype)
+
+    def s2d16(x, c):
+        y = lnn.conv2d_s2d(p1, x + c.astype(x.dtype) * 1e-20)
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"k) s2d 16->16 3x3 packed: {timed(s2d16, x16):8.2f} ms")
+
+    x16f = jnp.asarray(rng.standard_normal((1, h, w, 16)).astype(np.float32)).astype(dtype)
+
+    def im2col16(x, c):
+        y = lnn.conv2d_im2col(p1, x + c.astype(x.dtype) * 1e-20)
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"l) im2col 16->16 3x3   : {timed(im2col16, x16f):8.2f} ms")
+
+
+if "--s2d" in sys.argv:
+    s2d_bench()
+
+
+def pack_bench():
+    from lightglue_tpu import nn as lnn
+    h, w = 768, 1024
+    dtype = jnp.float32 if "--fp32" in sys.argv else jnp.bfloat16
+    rng = np.random.default_rng(0)
+    x3 = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32)).astype(dtype)
+    x16 = jnp.asarray(rng.standard_normal((1, h // 2, w // 2, 64)).astype(np.float32)).astype(dtype)
+
+    def pack_rt(x, c):
+        y = lnn.space_to_depth2(x + c.astype(x.dtype) * 1e-20)
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"pack reshapeT 3ch      : {timed(pack_rt, x3):8.2f} ms")
+
+    def pack_slice(x, c):
+        xi = x + c.astype(x.dtype) * 1e-20
+        y = jnp.concatenate(
+            [xi[:, a::2, b::2, :] for a in range(2) for b in range(2)], axis=-1
+        )
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"pack 4slices 3ch       : {timed(pack_slice, x3):8.2f} ms")
+
+    def unpack_rt(x, c):
+        y = lnn.depth_to_space2(x + c.astype(x.dtype) * 1e-20)
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"unpack reshapeT 16ch   : {timed(unpack_rt, x16):8.2f} ms")
+
+    def unpack_scatter(x, c):
+        xi = x + c.astype(x.dtype) * 1e-20
+        cq = xi.shape[-1] // 4
+        b_, h2, w2, _ = xi.shape
+        y = jnp.zeros((b_, 2 * h2, 2 * w2, cq), xi.dtype)
+        for a in range(2):
+            for bb in range(2):
+                y = y.at[:, a::2, bb::2, :].set(
+                    xi[..., (a * 2 + bb) * cq : (a * 2 + bb + 1) * cq]
+                )
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"unpack scatter 16ch    : {timed(unpack_scatter, x16):8.2f} ms")
+
+
+if "--pack" in sys.argv:
+    pack_bench()
+
+
+def phases_bench():
+    from lightglue_tpu import nn as lnn
+    h, w = 768, 1024
+    dtype = jnp.float32 if "--fp32" in sys.argv else jnp.bfloat16
+    rng = np.random.default_rng(0)
+    x3 = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32)).astype(dtype)
+    p0 = {"w": jnp.asarray(rng.standard_normal((5, 5, 3, 16)).astype(np.float32)).astype(dtype),
+          "b": jnp.asarray(rng.standard_normal((16,)).astype(np.float32)).astype(dtype)}
+
+    def ph_packed(x, c):
+        y = lnn.conv2d_phases(p0, x + c.astype(x.dtype) * 1e-20)
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"m) conv2d_phases packed out : {timed(ph_packed, x3):8.2f} ms")
+
+    def ph_unpacked(x, c):
+        y = lnn.depth_to_space2(lnn.conv2d_phases(p0, x + c.astype(x.dtype) * 1e-20))
+        return c + y.sum().astype(jnp.float32) * 1e-20
+
+    print(f"n) conv2d_phases + unpack   : {timed(ph_unpacked, x3):8.2f} ms")
+
+
+if "--phases" in sys.argv:
+    phases_bench()

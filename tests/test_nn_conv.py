@@ -86,3 +86,28 @@ def test_disk_forward_matches_dense_pipeline():
         np.asarray(out.descriptors), np.asarray(descs), atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(valid))
+
+
+@pytest.mark.parametrize("kernel,cin,cout", [(5, 3, 16), (3, 3, 16), (3, 16, 16)])
+def test_conv2d_s2d_matches_conv2d(kernel, cin, cout):
+    p = nn.conv2d_init(jax.random.key(0), cin, cout, kernel)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 24, cin), jnp.float32)
+    ref = nn.conv2d(p, x)
+    out = nn.depth_to_space2(nn.conv2d_s2d(p, nn.space_to_depth2(x)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_space_to_depth_roundtrip():
+    x = jax.random.normal(jax.random.key(0), (1, 8, 10, 5), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(nn.depth_to_space2(nn.space_to_depth2(x))), np.asarray(x)
+    )
+
+
+@pytest.mark.parametrize("kernel,cin,cout", [(5, 3, 16), (3, 3, 8)])
+def test_conv2d_phases_matches_conv2d(kernel, cin, cout):
+    p = nn.conv2d_init(jax.random.key(0), cin, cout, kernel)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 24, cin), jnp.float32)
+    ref = nn.space_to_depth2(nn.conv2d(p, x))
+    out = nn.conv2d_phases(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
