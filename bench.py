@@ -113,7 +113,7 @@ def _end_to_end_pairs_per_sec(batch=8, reps=4, tries=3):
     sparams = sp.init_params(jax.random.key(1), sconf)
     mconf = lightglue_config(
         "superpoint", mp=True, compaction_bucket=256, compaction_prefix=1,
-        cross_softmax_shift=12.0,
+        cross_softmax_shift=12.0, self_softmax_shift=12.0,
     )
     mparams = lg.init_params(jax.random.key(0), mconf)
     rng = np.random.default_rng(2)
@@ -171,7 +171,7 @@ def main(M=1024, BATCH=None, REPS=8):
     bucket = min(256, M // 2)
     headline_conf = base.replace(
         compaction_bucket=bucket, compaction_prefix=1,
-        cross_softmax_shift=12.0,
+        cross_softmax_shift=12.0, self_softmax_shift=12.0,
     )
     detail = {}
 
@@ -179,7 +179,7 @@ def main(M=1024, BATCH=None, REPS=8):
         # honest floor: no adaptivity, every layer at full size
         fixed = base.replace(
             depth_confidence=-1.0, width_confidence=-1.0,
-            cross_softmax_shift=12.0,
+            cross_softmax_shift=12.0, self_softmax_shift=12.0,
         )
         detail[f"fixed bf16 B{floor_batch} (floor, no adaptivity)"] = round(
             _time_forward(fixed, params, _inputs(M, floor_batch),

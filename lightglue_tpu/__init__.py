@@ -20,6 +20,8 @@ from .pipeline import (  # noqa: F401
     rbd,
 )
 from .utils.image import load_image, read_image  # noqa: F401
+from .utils.compile_cache import enable_persistent_cache  # noqa: F401
+from .parallel.batching import BatchMatcher  # noqa: F401
 from .configs import (  # noqa: F401
     ALIKEDConfig,
     DISKConfig,

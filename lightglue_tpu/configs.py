@@ -50,6 +50,10 @@ class LightGlueConfig:
     # within ~(shift-85, shift+70) nats of 0; trained matcher scores are
     # |s| <~ 30. None = per-row max (bitwise reference semantics).
     cross_softmax_shift: Optional[float] = None
+    # Same constant-shift trick for SELF attention: removes the per-row max
+    # reduction over the (BQ, N) score strip (ops/flash.py::
+    # _attn_kernel_shift). Same exactness envelope as cross_softmax_shift.
+    self_softmax_shift: Optional[float] = None
 
     def __post_init__(self):
         if self.descriptor_dim % self.num_heads != 0:

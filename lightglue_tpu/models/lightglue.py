@@ -207,7 +207,9 @@ def self_block(
     q = rotary.apply_rotary(encoding, q)
     k = rotary.apply_rotary(encoding, k)
     if _flash_ok(conf, n):
-        context = flash_ops.flash_sdpa(q, k, v, key_mask)
+        context = flash_ops.flash_sdpa(
+            q, k, v, key_mask, shift=conf.self_softmax_shift
+        )
     else:
         mask = key_mask[:, None, None, :] if key_mask is not None else None
         context = attn_ops.sdpa(q, k, v, mask)

@@ -96,8 +96,9 @@ def make_batched_matcher(
             scales0=scales0, oris0=oris0, scales1=scales1, oris1=oris1,
         )
 
+    jitted = jax.jit(fwd)
     if mesh is None:
-        return jax.jit(fwd)
+        return jitted
 
     def shard_args(params, *args):
         params = jax.device_put(params, repl)
@@ -105,8 +106,6 @@ def make_batched_matcher(
             None if a is None else jax.device_put(a, data) for a in args
         )
         return params, args
-
-    jitted = jax.jit(fwd)
 
     def run(params, *args, **kw):
         ordered = [
@@ -116,6 +115,9 @@ def make_batched_matcher(
         params, all_args = shard_args(params, *args, *ordered)
         return jitted(params, *all_args)
 
+    run.jitted = jitted
+    run.data_sharding = data
+    run.repl_sharding = repl
     return run
 
 
@@ -175,6 +177,54 @@ class BatchMatcher:
         self.buckets = tuple(buckets)
         self.max_batch = max_batch
         self._matcher = make_batched_matcher(conf, mesh)
+
+    def warmup(self, batches: Optional[Sequence[int]] = None) -> int:
+        """AOT-compile every (bucket, batch) program this matcher can
+        dispatch, before any traffic arrives.
+
+        The reference exposes the same need as ``LightGlue.compile(...,
+        static_lengths)`` (lightglue.py:439-454) — compiled per-length
+        variants. Here each program is lowered from abstract
+        ShapeDtypeStructs (no input data or device transfer) and compiled
+        eagerly; combined with ``utils.compile_cache.enable_persistent_
+        cache`` the binaries survive process restarts, so a serving replica
+        restarts without paying any jit latency.
+
+        Returns the number of programs compiled.
+        """
+        if batches is None:
+            batches = [self.max_batch]
+        sizes = sorted({self._round_batch(b, self.max_batch) for b in batches})
+        jitted = getattr(self._matcher, "jitted", self._matcher)
+        data = getattr(self._matcher, "data_sharding", None)
+        repl = getattr(self._matcher, "repl_sharding", None)
+
+        def struct(shape, dtype, sharding):
+            if sharding is None:
+                return jax.ShapeDtypeStruct(shape, dtype)
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+        p_struct = jax.tree.map(
+            lambda a: struct(a.shape, a.dtype, repl), self.params
+        )
+        dim = self.conf.input_dim
+        n = 0
+        for bucket in self.buckets:
+            for b in sizes:
+                kpts = struct((b, bucket, 2), jnp.float32, data)
+                desc = struct((b, bucket, dim), jnp.float32, data)
+                mask = struct((b, bucket), jnp.bool_, data)
+                size = struct((b, 2), jnp.float32, data)
+                so = struct((b, bucket), jnp.float32, data)
+                extra = (so, so, so, so) if self.conf.add_scale_ori else (
+                    None, None, None, None
+                )
+                jitted.lower(
+                    p_struct, kpts, kpts, desc, desc, mask, mask, size, size,
+                    *extra,
+                ).compile()
+                n += 1
+        return n
 
     def _round_batch(self, n: int, max_batch: int) -> int:
         b = 1

@@ -62,6 +62,14 @@ def main():
     print(f"fixed match agreement TPU vs CPU: {agree:.4f}")
     assert agree > 0.98, f"match agreement too low: {agree}"
 
+    # constant-shift softmax kernels (self + cross): same matches as the
+    # exact-max kernels within the documented score envelope
+    conf_s = conf.replace(cross_softmax_shift=12.0, self_softmax_shift=12.0)
+    out_s = fwd(params, conf_s, **{k: jnp.asarray(v) for k, v in inputs.items()})
+    agree_s = (np.asarray(out_s.matches0) == m_tpu).mean()
+    print(f"shift-kernel match agreement: {agree_s:.4f}")
+    assert agree_s > 0.98, f"shift-kernel agreement too low: {agree_s}"
+
     # adaptive + two-stage compaction bf16
     conf2 = lt.lightglue_config(
         "superpoint", mp=True, compaction_bucket=128, compaction_prefix=1

@@ -1,0 +1,79 @@
+"""BatchMatcher AOT warmup + persistent compilation cache."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lightglue_tpu.configs import lightglue_config
+from lightglue_tpu.models import lightglue as lg
+from lightglue_tpu.parallel.batching import BatchMatcher
+from lightglue_tpu.parallel.mesh import make_mesh
+
+
+def _pairs(rng, sizes, dim=256):
+    pairs = []
+    for n0, n1 in sizes:
+        f0 = {"keypoints": rng.uniform(0, 64, (n0, 2)).astype(np.float32),
+              "descriptors": rng.standard_normal((n0, dim)).astype(np.float32)}
+        f1 = {"keypoints": rng.uniform(0, 64, (n1, 2)).astype(np.float32),
+              "descriptors": rng.standard_normal((n1, dim)).astype(np.float32)}
+        pairs.append((f0, f1))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def small_matcher():
+    conf = lightglue_config(
+        "superpoint", n_layers=2, depth_confidence=-1.0, width_confidence=-1.0
+    )
+    params = lg.init_params(jax.random.key(0), conf)
+    return conf, params
+
+
+def test_warmup_compiles_bucket_grid(small_matcher):
+    conf, params = small_matcher
+    bm = BatchMatcher(conf, params, buckets=(16, 32), max_batch=2)
+    n = bm.warmup(batches=(1, 2))
+    assert n == 2 * 2  # two buckets x two batch sizes
+
+    rng = np.random.default_rng(0)
+    res = bm.match_pairs(_pairs(rng, [(10, 12), (30, 7), (16, 16)]))
+    assert len(res) == 3
+    for r, (n0, n1) in zip(res, [(10, 12), (30, 7), (16, 16)]):
+        assert r["matches0"].shape == (n0,)
+        assert r["matches1"].shape == (n1,)
+
+
+def test_warmup_mesh_shardings(small_matcher):
+    conf, params = small_matcher
+    mesh = make_mesh(4, devices=jax.devices("cpu")[:4])
+    bm = BatchMatcher(conf, params, mesh=mesh, buckets=(16,), max_batch=4)
+    assert bm.warmup(batches=(4,)) == 1
+    rng = np.random.default_rng(1)
+    res = bm.match_pairs(_pairs(rng, [(8, 8)] * 4))
+    assert len(res) == 4
+
+
+def test_persistent_cache_roundtrip(tmp_path, small_matcher):
+    from lightglue_tpu.utils.compile_cache import enable_persistent_cache
+
+    conf, params = small_matcher
+    cache_dir = enable_persistent_cache(str(tmp_path / "xla_cache"))
+    try:
+        bm = BatchMatcher(
+            conf.replace(n_layers=1), params, buckets=(16,), max_batch=1
+        )
+        bm.warmup()
+        rng = np.random.default_rng(2)
+        res = bm.match_pairs(_pairs(rng, [(9, 9)]))
+        assert res[0]["matches0"].shape == (9,)
+        import os
+
+        entries = os.listdir(cache_dir)
+        # CPU-backend cache support varies by jax version; the API contract
+        # (setup + serving still correct) is asserted above either way
+        if entries:
+            assert any(e for e in entries)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
