@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import SIFTConfig
+from ..ops.topk import topk2d
 
 SIGMA0 = 1.6
 INIT_BLUR = 0.5
@@ -59,22 +60,22 @@ def _gaussian_kernel(sigma: float) -> np.ndarray:
 def _gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Separable Gaussian on (H, W) with BORDER_REFLECT_101 padding (numpy
     'reflect' == OpenCV's default; border mismatches compound through the
-    s+3 blurs per octave, so this must match exactly)."""
+    s+3 blurs per octave, so this must match exactly).
+
+    Implemented as weighted shifted-slice sums, NOT convs: a 1-channel
+    full-res conv wastes 127/128 MXU lanes (the conv formulation put the
+    whole pyramid at ~68 ms; the fused VPU shift-sum chain is ~10x
+    cheaper). Same taps and weights, fp32 accumulation."""
     if sigma <= 0:
         return img
-    k = jnp.asarray(_gaussian_kernel(sigma))
+    k = _gaussian_kernel(sigma)
     r = (len(k) - 1) // 2
+    h, w = img.shape
+
     x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, :, :, None], k[:, None, None, None], (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[0, :, :, 0]
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, :, :, None], k[None, :, None, None], (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[0, :, :, 0]
-    return x
+    y = sum(float(k[t]) * x[t : t + h, :] for t in range(2 * r + 1))
+    x = jnp.pad(y, ((0, 0), (r, r)), mode="reflect")
+    return sum(float(k[t]) * x[:, t : t + w] for t in range(2 * r + 1))
 
 
 def _upsample2(img: jnp.ndarray) -> jnp.ndarray:
@@ -157,7 +158,12 @@ def _extrema_candidates(dog_stack: jnp.ndarray, n_cand: int, thr: float):
     resp = jnp.where(cand, jnp.abs(center), 0.0)
     flat = resp.reshape(-1)
     k_eff = min(n_cand, flat.shape[0])  # small late octaves
-    vals, idx = jax.lax.top_k(flat, k_eff)
+    # two-level row-capped top-k (ops/topk.py): the monolithic top_k over
+    # the 19M-element doubled octave costs ~40 ms; rows here are single
+    # scanlines of one DoG layer, so >cap extrema per row only happens on
+    # degenerate (tie-heavy) inputs, where the exactness fallback kicks in
+    vals, idx = topk2d(resp.reshape(1, (l - 2) * h, w), k_eff, cap=32)
+    vals, idx = vals[0], idx[0]
     if k_eff < n_cand:
         vals = jnp.pad(vals, (0, n_cand - k_eff))
         idx = jnp.pad(idx, (0, n_cand - k_eff))
@@ -179,12 +185,31 @@ def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
     s = conf.num_scales_per_octave
     border = 5  # SIFT_IMG_BORDER
 
+    # gather the 3x3x3 neighborhood as ONE flat 27-column take per use:
+    # multi-coordinate advanced indexing (dog_stack[li, yi, xi]) lowers to
+    # a multi-dim XLA gather that costs ~35x more than a flat 1-D take
+    # when the operand is a computed value (measured 23 -> 800 ms for the
+    # refinement loop at 2048x1536); the flat form matches how the
+    # orientation/descriptor stages gather
+    dog_flat = dog_stack.reshape(-1)
+    offs = np.array(
+        [(dl, dy, dx) for dl in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dx in (-1, 0, 1)], np.int32
+    )
+    offs_l = jnp.asarray(offs[:, 0])[None, :]
+    offs_y = jnp.asarray(offs[:, 1])[None, :]
+    offs_x = jnp.asarray(offs[:, 2])[None, :]
+
+    def cube():
+        lc = jnp.clip(li[:, None] + offs_l, 0, l - 1)
+        yc = jnp.clip(yi[:, None] + offs_y, 0, h - 1)
+        xc = jnp.clip(xi[:, None] + offs_x, 0, w - 1)
+        return jnp.take(dog_flat, (lc * h + yc) * w + xc)  # (N, 27)
+
+    cube_v = None  # refreshed whenever li/yi/xi move
+
     def at(dl, dy, dx):
-        return dog_stack[
-            jnp.clip(li + dl, 0, l - 1),
-            jnp.clip(yi + dy, 0, h - 1),
-            jnp.clip(xi + dx, 0, w - 1),
-        ]
+        return cube_v[:, (dl + 1) * 9 + (dy + 1) * 3 + (dx + 1)]
 
     def newton_step():
         d = at(0, 0, 0)
@@ -197,19 +222,25 @@ def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
         dxy = (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1)) * 0.25
         dxs = (at(1, 0, 1) - at(1, 0, -1) - at(-1, 0, 1) + at(-1, 0, -1)) * 0.25
         dys = (at(1, 1, 0) - at(1, -1, 0) - at(-1, 1, 0) + at(-1, -1, 0)) * 0.25
-        hess = jnp.stack(
-            [
-                jnp.stack([dxx, dxy, dxs], -1),
-                jnp.stack([dxy, dyy, dys], -1),
-                jnp.stack([dxs, dys, dss], -1),
-            ],
-            -2,
-        )  # (N, 3, 3)
+        # closed-form symmetric 3x3 solve (Cramer/adjugate): batched
+        # jnp.linalg.det/solve lower to LU on TPU and cost ~160 ms PER
+        # Newton step at N=4096 in this graph (measured: the linalg pair
+        # alone took sift_jax from ~330 ms to 1.13 s/image); the adjugate
+        # is a handful of fused VPU multiplies
         g = jnp.stack([dx1, dy1, ds1], -1)  # (N, 3)
-        det = jnp.linalg.det(hess)
+        a00 = dyy * dss - dys * dys
+        a01 = dys * dxs - dxy * dss
+        a02 = dxy * dys - dxs * dyy
+        a11 = dxx * dss - dxs * dxs
+        a12 = dxy * dxs - dxx * dys
+        a22 = dxx * dyy - dxy * dxy
+        det = dxx * a00 + dxy * a01 + dxs * a02
         ok = jnp.abs(det) > 1e-12
-        hess_safe = jnp.where(ok[..., None, None], hess, jnp.eye(3)[None])
-        off = -jnp.linalg.solve(hess_safe, g[..., None])[..., 0]
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        sx = a00 * dx1 + a01 * dy1 + a02 * ds1
+        sy = a01 * dx1 + a11 * dy1 + a12 * ds1
+        ss = a02 * dx1 + a12 * dy1 + a22 * ds1
+        off = -jnp.stack([sx, sy, ss], -1) * inv_det[:, None]
         return jnp.where(ok[..., None], off, 0.0), d, g
 
     converged = jnp.zeros(li.shape, bool)
@@ -218,6 +249,7 @@ def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
     d_final = jnp.zeros(li.shape)
     g_final = jnp.zeros((li.shape[0], 3))
     for _ in range(5):  # SIFT_MAX_INTERP_STEPS
+        cube_v = cube()
         off, d, g = newton_step()
         done_now = jnp.all(jnp.abs(off) < 0.5, axis=-1)
         newly = done_now & ~converged
@@ -244,7 +276,8 @@ def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
     contr = d_final + 0.5 * jnp.sum(g_final * off, axis=-1)
     valid = alive & converged
     valid &= jnp.abs(contr) * s >= conf.detection_threshold * 255.0
-    # edge response (2x2 spatial Hessian)
+    # edge response (2x2 spatial Hessian) at the final positions
+    cube_v = cube()
     dxx = at(0, 0, 1) + at(0, 0, -1) - 2 * d
     dyy = at(0, 1, 0) + at(0, -1, 0) - 2 * d
     dxy = (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1)) * 0.25
@@ -286,9 +319,26 @@ def _orientation_hist(
     yy = cy + dyy
     xx = cx + dxx
     inside = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
-    idx = (li[:, None] * h + jnp.clip(yy, 0, h - 1)) * w + jnp.clip(xx, 0, w - 1)
-    m = jnp.take(mags.reshape(-1), idx)
-    o = jnp.take(oris.reshape(-1), idx)
+    # the window is CONTIGUOUS in x: gather (2r+1) row segments per point
+    # via vmapped dynamic_slice on r-padded maps (one XLA gather with
+    # slice_sizes) instead of (2r+1)^2 scalar gathers — row-gather
+    # throughput on TPU is ~2 orders of magnitude higher than scalar
+    # gathers. Out-of-range samples land in the zero pad and are masked
+    # by `inside` anyway.
+    side = 2 * r + 1
+    pad = jnp.pad(
+        jnp.stack([mags, oris]), ((0, 0), (0, 0), (r, r), (r, r))
+    )  # (2, L, H+2r, W+2r)
+
+    def rows(li_, cy_, cx_):
+        # (2, side, side) window, corner at (cy-r, cx-r) in padded coords
+        return jax.lax.dynamic_slice(
+            pad, (0, li_, cy_, cx_), (2, 1, side, side)
+        )[:, 0]
+
+    win = jax.vmap(rows)(li, cy[:, 0], cx[:, 0])  # (N, 2, side, side)
+    m = win[:, 0].reshape(n, side * side)
+    o = win[:, 1].reshape(n, side * side)
     radius = jnp.round(ORI_RADIUS_FCTR * sigma_rel).astype(jnp.int32)[:, None]
     sig = (ORI_SIG_FCTR * sigma_rel)[:, None]
     dist2 = (dyy**2 + dxx**2).astype(jnp.float32)
@@ -297,12 +347,15 @@ def _orientation_hist(
     m = jnp.where(keep, m * wgt, 0.0)
     bins = jnp.round(o * (ORI_HIST_BINS / (2 * jnp.pi))).astype(jnp.int32)
     bins = jnp.mod(bins, ORI_HIST_BINS)
-    # one flat scatter-add over (kpt, bin)
-    kpt_ids = jnp.broadcast_to(jnp.arange(n)[:, None], bins.shape)
-    flat = jnp.zeros((n * ORI_HIST_BINS,)).at[
-        (kpt_ids * ORI_HIST_BINS + bins).reshape(-1)
-    ].add(m.reshape(-1))
-    hist = flat.reshape(n, ORI_HIST_BINS)
+    # per-bin masked reduction instead of a scatter-add: 36 elementwise
+    # mask+sum passes over the (N, window) tile are VPU-cheap, while a
+    # multi-million-index scatter serializes on TPU (measured: the scatter
+    # formulations put sift_jax at 2+ SECONDS/image)
+    hist = jnp.stack(
+        [jnp.sum(jnp.where(bins == b_, m, 0.0), axis=1)
+         for b_ in range(ORI_HIST_BINS)],
+        axis=1,
+    )
     # circular smoothing [1, 4, 6, 4, 1] / 16 (OpenCV)
     def smooth(hh):
         prev2 = jnp.roll(hh, 2, -1)
@@ -384,32 +437,30 @@ def _descriptors(
     ub = jnp.broadcast_to(ub, m.shape)
     vb = jnp.broadcast_to(vb, m.shape)
 
-    u0 = jnp.floor(ub)
-    v0 = jnp.floor(vb)
-    o0 = jnp.floor(obin)
-    fu = ub - u0
-    fv = vb - v0
-    fo = obin - o0
-
-    cells = (d + 2) * (d + 2) * nb
-    flat = jnp.zeros((n * cells,))
-    kpt_ids = jnp.broadcast_to(jnp.arange(n)[:, None], m.shape)
-    for du in (0, 1):
-        for dv in (0, 1):
-            for do in (0, 1):
-                wu = fu if du else (1 - fu)
-                wv = fv if dv else (1 - fv)
-                wo = fo if do else (1 - fo)
-                weight = m * wu * wv * wo
-                ui = jnp.clip(u0 + du + 1, 0, d + 1).astype(jnp.int32)
-                vi = jnp.clip(v0 + dv + 1, 0, d + 1).astype(jnp.int32)
-                oi = jnp.mod(o0 + do, nb).astype(jnp.int32)
-                flat_idx = (
-                    kpt_ids * cells + (vi * (d + 2) + ui) * nb + oi
-                ).reshape(-1)
-                flat = flat.at[flat_idx].add(weight.reshape(-1))
-    desc = flat.reshape(n, d + 2, d + 2, nb)
-    desc = desc[:, 1 : d + 1, 1 : d + 1, :].reshape(n, d * d * nb)
+    # trilinear binning as a separable triangular-weight contraction
+    # instead of 8 scatter-add passes (TPU scatters serialize; this was
+    # ~2 s/image). For kept cell cu in [0, d): the original assigns
+    # weight fu to cell u0+1 and (1-fu) to cell u0, i.e. exactly
+    # tri(ub, cu) = relu(1 - |ub - cu|); cells outside [0, d) were
+    # accumulated into padding rows and discarded, which tri() drops for
+    # free. The orientation axis wraps circularly. Bit-for-bit the same
+    # summands as the scatter version, summed on the MXU.
+    cu = jnp.arange(d, dtype=ub.dtype)
+    au = jnp.maximum(0.0, 1.0 - jnp.abs(ub[..., None] - cu))  # (n, S, d)
+    av = jnp.maximum(0.0, 1.0 - jnp.abs(vb[..., None] - cu))  # (n, S, d)
+    co = jnp.arange(nb, dtype=obin.dtype)
+    od = jnp.abs(obin[..., None] - co)
+    ao = jnp.maximum(0.0, 1.0 - jnp.minimum(od, nb - od))     # (n, S, nb)
+    vo = (av[..., :, None] * ao[..., None, :]).reshape(
+        n, m.shape[1], d * nb
+    )
+    desc = jnp.einsum(
+        "nsu,nsk->nuk", m[..., None] * au, vo,
+        preferred_element_type=jnp.float32,
+    )  # (n, u, v*o)
+    # original layout is (v, u, o): transpose u <-> v
+    desc = desc.reshape(n, d, d, nb).transpose(0, 2, 1, 3)
+    desc = desc.reshape(n, d * d * nb)
     # clip + renormalize (OpenCV)
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = jnp.minimum(desc, DESC_MAG_THR * jnp.maximum(norm, 1e-12))
@@ -443,18 +494,44 @@ def extract_single(
         # near the cut. The (doubled) first octave has by far the most raw
         # extrema; later octaves shrink 4x each.
         n_cand = max(256, (4 * k_total) >> o)
-        dog_stack = jnp.stack(dogs[o])
-        li, yi, xi, valid = _extrema_candidates(dog_stack, n_cand, thr_pre)
-        fl, fy, fx, resp, valid = _refine(dog_stack, li, yi, xi, valid, conf)
+        # materialize once: the DoG stack feeds both extrema detection and
+        # the 5-step refinement gathers, and XLA otherwise duplicates the
+        # producing blur/subtract chain into each consumer (see
+        # aliked.forward for the measured pattern)
+        dog_stack = jax.lax.optimization_barrier(jnp.stack(dogs[o]))
+        # every stage boundary is barriered: XLA otherwise re-derives the
+        # producing chain per consumer — _refine alone has ~135 gathers
+        # consuming these indices, and re-running the 26-neighbor NMS +
+        # full-map top_k for each put sift_jax at 1.1 s/image (measured;
+        # barriers here take the composed pipeline to the sum of its
+        # stage costs)
+        li, yi, xi, valid = jax.lax.optimization_barrier(
+            _extrema_candidates(dog_stack, n_cand, thr_pre)
+        )
+        fl, fy, fx, resp, valid = jax.lax.optimization_barrier(
+            _refine(dog_stack, li, yi, xi, valid, conf)
+        )
+        if n_cand > k_total:
+            # compact survivors: the global top-k_total (by response) is a
+            # subset of each octave's top-k_total candidates, so computing
+            # orientations/descriptors for more than k_total per octave is
+            # dead work (octave 0 pools 4x that many raw extrema)
+            _, keep = jax.lax.top_k(jnp.where(valid, resp, -1.0), k_total)
+            li, fl, fy, fx, resp, valid = jax.lax.optimization_barrier(
+                tuple(a[keep] for a in (li, fl, fy, fx, resp, valid))
+            )
+            n_cand = k_total
         sigma_rel = SIGMA0 * (2.0 ** (fl / s))  # blur in octave units
         # per-keypoint gaussian layer nearest to fl; gradients precomputed
         # for the whole stacked octave and gathered with a 3D index
         lg_idx = jnp.clip(jnp.round(fl).astype(jnp.int32), 0, s + 2)
         gauss_layers = jnp.stack(gaussians[o])  # (s+3, H, W)
-        mags, oris_map = jax.vmap(_gradients)(gauss_layers)
+        mags, oris_map = jax.lax.optimization_barrier(
+            jax.vmap(_gradients)(gauss_layers)
+        )
 
         hist = _orientation_hist(mags, oris_map, lg_idx, fy, fx, sigma_rel)
-        angles, aok = _hist_peaks(hist)
+        angles, aok = jax.lax.optimization_barrier(_hist_peaks(hist))
 
         # fold the orientation axis into the keypoint axis: one descriptor
         # call per octave instead of MAX_ORI (halves trace/compile size)
