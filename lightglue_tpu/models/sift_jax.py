@@ -573,3 +573,13 @@ def extract_single(
         "descriptors": jnp.where(out_valid[:, None], allc["desc"][sel], 0.0),
         "valid": out_valid,
     }
+
+
+def extract_batch(images: jnp.ndarray, conf: SIFTConfig):
+    """Batched TPU SIFT: vmap of ``extract_single`` over (B, H, W) images.
+
+    Every stage is static-shape, so the whole DoG pipeline vmaps cleanly —
+    one device program extracts the full batch (the reference's SIFT loops
+    per image on the host, sift.py:205-212).
+    """
+    return jax.vmap(lambda im: extract_single(im, conf))(images)

@@ -75,3 +75,27 @@ def test_jax_backend_pipeline():
     assert feats["valid"].sum() > 10
     d = feats["descriptors"][0][feats["valid"][0]]
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_extract_batch_matches_single():
+    import numpy as np
+
+    from lightglue_tpu.configs import SIFTConfig
+    from lightglue_tpu.models import sift_jax
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 64, 96)).astype(np.float32))
+    conf = SIFTConfig(max_num_keypoints=32)
+    batched = jax.jit(
+        sift_jax.extract_batch, static_argnames=("conf",)
+    )(imgs, conf)
+    for b in range(2):
+        single = jax.jit(
+            sift_jax.extract_single, static_argnames=("conf",)
+        )(imgs[b], conf)
+        for k in single:
+            np.testing.assert_allclose(
+                np.asarray(batched[k][b]), np.asarray(single[k]),
+                atol=1e-5, err_msg=k,
+            )
