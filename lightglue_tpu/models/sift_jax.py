@@ -420,8 +420,12 @@ def _descriptors(
     xi = jnp.clip(jnp.round(sx), 1, w - 2).astype(jnp.int32)
     yi = jnp.clip(jnp.round(sy), 1, h - 2).astype(jnp.int32)
     idx = (li[:, None] * h + yi) * w + xi
-    m = jnp.take(mags.reshape(-1), idx)
-    o = jnp.take(oris_map.reshape(-1), idx)
+    # one 2-wide row gather for (mag, ori) instead of two scalar takes —
+    # gather cost is per element/row, and both maps use identical indices
+    mo = jnp.stack([mags, oris_map], -1).reshape(l * h * w, 2)
+    mov = jnp.take(mo, idx.reshape(-1), axis=0).reshape(*idx.shape, 2)
+    m = mov[..., 0]
+    o = mov[..., 1]
     # gaussian weight over the window
     wgt = jnp.exp(-(u[None] ** 2 + v[None] ** 2) / (0.5 * d) ** 2 / 2)
     m = jnp.where(inside, m * wgt, 0.0)

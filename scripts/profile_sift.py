@@ -59,6 +59,33 @@ def main():
     res = {"image": f"{w}x{h}", "kpts": k,
            "unit": "ms/image (differential chained timing, v5e)",
            "sift_jax": round(t, 2)}
+
+    from lightglue_tpu.models import hardnet
+
+    hp = hardnet.init_params(jax.random.key(0))
+    patches = jnp.asarray(
+        rng.standard_normal((k, 32, 32, 1)).astype(np.float32)
+    )
+
+    def hn(x, c):
+        d = hardnet.describe_patches(hp, x + c * 1e-20)
+        return c + d.sum() * 1e-20
+
+    th = timed(hn, patches)
+    print(f"hardnet {k} patches: {th:8.2f} ms")
+    res["hardnet_patches"] = round(th, 2)
+
+    kpts = jnp.asarray(rng.uniform(20, min(h, w) - 20, (k, 2)).astype(np.float32))
+    scl = jnp.asarray(rng.uniform(2, 8, (k,)).astype(np.float32))
+    ori = jnp.asarray(rng.uniform(0, 6.28, (k,)).astype(np.float32))
+
+    def laf(im, c):
+        p_ = hardnet.extract_laf_patches(im + c * 1e-20, kpts, scl, ori, 32)
+        return c + p_.sum() * 1e-20
+
+    tl = timed(laf, gray)
+    print(f"laf patches {k}    : {tl:8.2f} ms")
+    res["laf_patches"] = round(tl, 2)
     out = Path(__file__).parent.parent / "benchmarks" / "sift_hardnet.json"
     out.write_text(json.dumps(res, indent=1))
     print(f"wrote {out}")
