@@ -207,15 +207,16 @@ def main(M=1024, BATCH=None, REPS=8):
                 f"FAIL {e}"[:200]
             )
 
-    out_dir = Path(__file__).parent / "benchmarks"
-    out_dir.mkdir(exist_ok=True)
-    (out_dir / "bench_detail.json").write_text(
-        json.dumps(
-            {"unit": "pairs/s @1024 kpts", "baseline_rtx3080": BASELINE,
-             "lines": detail},
-            indent=1,
+    if not tiny:  # contract-test mode must not clobber the real artifact
+        out_dir = Path(__file__).parent / "benchmarks"
+        out_dir.mkdir(exist_ok=True)
+        (out_dir / "bench_detail.json").write_text(
+            json.dumps(
+                {"unit": "pairs/s @1024 kpts", "baseline_rtx3080": BASELINE,
+                 "lines": detail},
+                indent=1,
+            )
         )
-    )
 
     result = {
         "metric": (
