@@ -54,6 +54,11 @@ class LightGlueConfig:
     # reduction over the (BQ, N) score strip (ops/flash.py::
     # _attn_kernel_shift). Same exactness envelope as cross_softmax_shift.
     self_softmax_shift: Optional[float] = None
+    # Fused FFN Pallas kernel on TPU (ops/ffn.py). Its polynomial erf GELU
+    # (~1.5e-7 abs err) and unrounded bf16 hidden drift from the XLA
+    # composition within the documented ~1e-4 envelope (docs/PARITY.md);
+    # set False to force the XLA composition for bitwise debugging.
+    fused_ffn: bool = True
 
     def __post_init__(self):
         if self.descriptor_dim % self.num_heads != 0:

@@ -50,9 +50,9 @@ def _conv_block_init(key, cin, cout, is_first=False):
     return p
 
 
-def _conv_block(p, x, is_first=False):
+def _conv_block(p, x):
     # gate presence in the params is authoritative (converted checkpoints
-    # may or may not gate the first block; init follows is_first)
+    # may or may not gate the first block; init gates all but block 0)
     if "gate" in p:
         x = _prelu(p["gate"], x)
         x = nn.instance_norm(x)
@@ -108,13 +108,13 @@ def unet_trunk(params: nn.Params, image: jnp.ndarray) -> jnp.ndarray:
     # nn.conv2d_phases); exact
     p0 = params["down"]["0"]
     if "gate" in p0:  # converted checkpoints may gate block 0
-        x = _conv_block(p0, image, is_first=False)
+        x = _conv_block(p0, image)
     else:
         x = nn.depth_to_space2(nn.conv2d_phases(p0["conv"], image))
     feats.append(x)
     for i in range(1, n):
         x = _avg_pool2(x)
-        x = _conv_block(params["down"][str(i)], x, is_first=False)
+        x = _conv_block(params["down"][str(i)], x)
         feats.append(x)
     y = feats[-1]
     for i in range(len(UP)):

@@ -34,6 +34,7 @@ from ..ops import assignment_fused as fasg_ops
 from ..ops import flash_cross as flash_cross_ops
 from ..ops import rotary
 from ..ops.keypoints import normalize_keypoints
+from ..utils import diagnostics
 
 
 @functools.lru_cache(maxsize=1)
@@ -47,13 +48,37 @@ def _on_tpu() -> bool:
 
 
 def _flash_ok(conf: LightGlueConfig, *lengths: int) -> bool:
-    """Use the Pallas path when enabled, on TPU, and shapes are tileable."""
-    return (
-        conf.flash
-        and _on_tpu()
-        and all(n % 128 == 0 for n in lengths)
-        and conf.head_dim in (64, 128)
-    )
+    """Use the Pallas path when enabled, on TPU, and shapes are tileable.
+
+    Falling back to XLA attention is correct but slower; each distinct
+    reason announces itself once (reference warning pattern:
+    lightglue.py:100-105)."""
+    if not conf.flash:
+        return False
+    if not _on_tpu():
+        diagnostics.warn_once(
+            "flash-platform",
+            "Pallas flash kernels requested (flash=True) but the backend is "
+            "not TPU; using XLA attention. This is expected on CPU tests.",
+        )
+        return False
+    if conf.head_dim not in (64, 128):
+        diagnostics.warn_once(
+            "flash-head-dim",
+            f"Pallas flash kernels support head_dim 64/128, got "
+            f"{conf.head_dim}; using XLA attention.",
+        )
+        return False
+    if not all(n % 128 == 0 for n in lengths):
+        diagnostics.warn_once(
+            f"flash-length-{lengths}",
+            f"Pallas flash kernels need sequence lengths divisible by 128, "
+            f"got {lengths}; using XLA attention. Pad keypoint buffers to "
+            "a multiple of 128 (ops/keypoints.py::pad_to_length) to stay on "
+            "the fast path.",
+        )
+        return False
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -82,8 +107,9 @@ def _ffn_residual(
     p: nn.Params, x: jnp.ndarray, message: jnp.ndarray, conf: LightGlueConfig
 ) -> jnp.ndarray:
     """x + FFN(cat[x, message]) — fused Pallas kernel on TPU (zero HBM
-    round-trips for the 2D-wide hidden), XLA composition elsewhere."""
-    if _flash_ok(conf, x.shape[1]):
+    round-trips for the 2D-wide hidden), XLA composition elsewhere or when
+    conf.fused_ffn is off (bitwise-debug mode, see docs/PARITY.md)."""
+    if conf.fused_ffn and _flash_ok(conf, x.shape[1]):
         return ffn_ops.fused_ffn_residual(x, message, p)
     return x + _ffn(p, jnp.concatenate([x, message], axis=-1))
 

@@ -20,8 +20,10 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import numpy as np
+from packaging import version
 
 from ..configs import SIFTConfig
+from ..utils import diagnostics
 
 try:
     import cv2
@@ -132,6 +134,15 @@ def extract_single_image_pycolmap(
             "with pip or use backend='opencv'/'jax'." % conf.backend
         ) from e
 
+    if version.parse(pycolmap.__version__) < version.parse("0.5.0"):
+        # old pycolmap mis-normalizes L1_ROOT descriptors (reference
+        # sift.py:117-123 warns the same way)
+        diagnostics.warn_once(
+            "pycolmap-version",
+            f"pycolmap {pycolmap.__version__} < 0.5.0 has broken descriptor "
+            "normalization; results may differ. Consider upgrading or using "
+            "backend='opencv'/'jax'.",
+        )
     options = {
         "peak_threshold": conf.detection_threshold,
         "edge_threshold": conf.edge_threshold,

@@ -15,6 +15,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from .utils import diagnostics
+
 _NATIVE_DIR = Path(__file__).parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "liblg_host.so"
 _lib: Optional[ctypes.CDLL] = None
@@ -51,7 +53,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
-    except Exception:
+    except Exception as e:
+        diagnostics.warn_once(
+            "native-host-lib",
+            "native C++ host runtime (liblg_host.so) unavailable "
+            f"({type(e).__name__}: {e}); using numpy fallbacks for match "
+            "compaction / ragged packing. Build with `make -C native`.",
+        )
         _lib = None
     return _lib
 

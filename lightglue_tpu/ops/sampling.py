@@ -15,6 +15,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils import diagnostics
+
 
 def bilinear_sample(
     fmap: jnp.ndarray,
@@ -112,6 +114,12 @@ def top_k_keypoints(
     b, h, w = scores.shape
     flat = scores.reshape(b, h * w)
     if approx_recall > 0:
+        diagnostics.warn_once(
+            "approx-topk",
+            f"approximate top-k active (recall_target={approx_recall}): "
+            "keypoint selection near the score cut may differ from exact "
+            "top-k. Set approx_topk=0 for reference-exact selection.",
+        )
         kscores, idx = jax.lax.approx_max_k(
             flat, k, recall_target=approx_recall
         )

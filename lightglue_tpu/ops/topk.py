@@ -30,6 +30,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _is_vmapped(x) -> bool:
+    """True when ``x`` carries a vmap batch dimension. Under vmap,
+    ``lax.cond`` lowers to a ``select`` that executes BOTH branches, so the
+    exactness fallback would run the monolithic top_k unconditionally —
+    strictly slower than not using the two-level path at all. Callers under
+    vmap get the monolithic form directly."""
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # private module moved: be conservative
+        return False
+    return isinstance(x, BatchTracer)
+
+
 def topk2d(scores: jnp.ndarray, k: int, cap: int = 32):
     """Exact equivalent of ``jax.lax.top_k(scores.reshape(B, -1), k)`` for
     (B, H, W) score maps, via a row-capped two-level reduction with a
@@ -42,7 +55,7 @@ def topk2d(scores: jnp.ndarray, k: int, cap: int = 32):
     """
     b, h, w = scores.shape
     cap = min(cap, w)
-    if k > h * cap:
+    if k > h * cap or _is_vmapped(scores):
         return jax.lax.top_k(scores.reshape(b, -1), k)
 
     # materialize the map once: it feeds both the fast path and the

@@ -219,11 +219,15 @@ class BatchMatcher:
                 extra = (so, so, so, so) if self.conf.add_scale_ori else (
                     None, None, None, None
                 )
-                jitted.lower(
-                    p_struct, kpts, kpts, desc, desc, mask, mask, size, size,
-                    *extra,
-                ).compile()
-                n += 1
+                # traffic may or may not carry image_size (pairs without it
+                # normalize by the keypoint bbox) — both trace to distinct
+                # programs, so warm both signatures
+                for sz in (size, None):
+                    jitted.lower(
+                        p_struct, kpts, kpts, desc, desc, mask, mask, sz, sz,
+                        *extra,
+                    ).compile()
+                    n += 1
         return n
 
     def _round_batch(self, n: int, max_batch: int) -> int:

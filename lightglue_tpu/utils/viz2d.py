@@ -16,7 +16,9 @@ import matplotlib.pyplot as plt
 
 
 def cm_ranking(sc: np.ndarray, ths=(512, 1024, 2048, 4096)):
-    """Rank-based color binning (reference viz2d.py:15-24)."""
+    """Rank-based color binning: top-ranked scores red, then yellow/lime/
+    cyan/blue past each threshold. (No reference analogue — convenience for
+    inspecting detector score orderings.)"""
     ls = sc.shape[0]
     colors = ["red", "yellow", "lime", "cyan", "blue"]
     out = ["gray"] * ls
@@ -28,25 +30,35 @@ def cm_ranking(sc: np.ndarray, ths=(512, 1024, 2048, 4096)):
     return out
 
 
+def _ramp(t: np.ndarray) -> np.ndarray:
+    """Saturating channel ramp: 0 below t=0, linear, 1 above t=0.5."""
+    return np.clip(2.0 * t, 0.0, 1.0)
+
+
 def cm_RdGn(x) -> np.ndarray:
-    """Map [0, 1] -> red-green (reference viz2d.py:27-30)."""
-    x = np.clip(np.asarray(x), 0, 1)[..., None] * 2
-    c = x * np.array([[0, 1.0, 0]]) + (2 - x) * np.array([[1.0, 0, 0]])
-    return np.clip(c, 0, 1)
+    """Map [0, 1] -> red..yellow..green.
+
+    Same endpoints/midpoint as the reference colormap (viz2d.py:15-19),
+    expressed as per-channel saturating ramps: green saturates over the
+    lower half of the range, red fades out over the upper half.
+    """
+    t = np.clip(np.asarray(x, np.float64), 0.0, 1.0)
+    return np.stack([_ramp(1.0 - t), _ramp(t), np.zeros_like(t)], axis=-1)
 
 
 def cm_BlRdGn(x_) -> np.ndarray:
-    """Map [-1, 1] -> blue-red-green (reference viz2d.py:33-39... 41-47)."""
-    x_ = np.asarray(x_)
-    x = np.clip(x_, 0, 1)[..., None] * 2
-    c = x * np.array([[0, 1.0, 0, 1.0]]) + (2 - x) * np.array(
-        [[1.0, 0, 0, 1.0]]
-    )
-    xn = -np.clip(x_, -1, 0)[..., None] * 2
-    cn = xn * np.array([[0, 0.1, 1, 1.0]]) + (2 - xn) * np.array(
-        [[1.0, 0, 0, 1.0]]
-    )
-    return np.clip(np.where(x_[..., None] < 0, cn, c), 0, 1)
+    """Map [-1, 1] -> blue..red..green, RGBA.
+
+    Positive half is ``cm_RdGn``; the negative half fades red into blue
+    with a faint green tint (endpoints as reference viz2d.py:22-30).
+    """
+    t = np.asarray(x_, np.float64)
+    tp = np.clip(t, 0.0, 1.0)  # red -> green
+    tn = -np.clip(t, -1.0, 0.0)  # red -> blue
+    pos = np.stack([_ramp(1.0 - tp), _ramp(tp), np.zeros_like(tp)], axis=-1)
+    neg = np.stack([_ramp(1.0 - tn), 0.2 * tn, _ramp(tn)], axis=-1)
+    rgb = np.where(t[..., None] < 0, neg, pos)
+    return np.concatenate([rgb, np.ones_like(rgb[..., :1])], axis=-1)
 
 
 def cm_prune(x_) -> np.ndarray:

@@ -1,16 +1,16 @@
-"""Two-phase adaptive compaction vs the single-program masked path.
+"""On-device two-stage adaptive compaction vs the single-program masked path.
 
 With an aggressive width_confidence (keep threshold 0.6, random-weight
 matchability ~sigmoid(N(0,1)) -> ~half the points pruned at each pruning
 layer), compaction must reproduce the masked path's outputs exactly —
-masking and physical removal are mathematically equivalent softmax subsets.
+masking and physical removal are mathematically equivalent softmax subsets
+— whenever the survivors fit the compaction bucket.
 """
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from lightglue_tpu.adaptive import match_adaptive_compact
 from lightglue_tpu.configs import lightglue_config
 from lightglue_tpu.models import lightglue as lg
 
@@ -24,63 +24,6 @@ def _inputs(seed, b, m, n):
         desc1=jnp.asarray(rng.standard_normal((b, n, 256)).astype(np.float32)),
         size0=jnp.asarray(np.tile([[640.0, 480.0]], (b, 1))),
         size1=jnp.asarray(np.tile([[640.0, 480.0]], (b, 1))),
-    )
-
-
-def test_compact_equals_masked():
-    conf = lightglue_config(
-        "superpoint",
-        depth_confidence=-1.0,
-        width_confidence=0.4,  # keep threshold 0.6 -> aggressive pruning
-        pruning_min_kpts=-1,
-        filter_threshold=0.0,
-    )
-    params = lg.init_params(jax.random.key(0), conf)
-    inputs = _inputs(0, 2, 96, 96)
-
-    masked = jax.jit(lg.forward, static_argnames=("conf",))(
-        params, conf, **inputs
-    )
-    compact = match_adaptive_compact(
-        params, conf, n_prefix=3, buckets=(32, 64, 96), **inputs
-    )
-    # pruning must actually have compacted (otherwise this test is vacuous)
-    pr = np.asarray(masked.prune0)
-    assert (pr < 9).any(), "expected pruning to trigger with wc=0.4"
-    np.testing.assert_array_equal(
-        np.asarray(compact.matches0), np.asarray(masked.matches0)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(compact.matches1), np.asarray(masked.matches1)
-    )
-    np.testing.assert_allclose(
-        np.asarray(compact.matching_scores0),
-        np.asarray(masked.matching_scores0), atol=1e-4,
-    )
-    np.testing.assert_array_equal(
-        np.asarray(compact.prune0), np.asarray(masked.prune0)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(compact.prune1), np.asarray(masked.prune1)
-    )
-    assert int(compact.stop) == int(masked.stop)
-
-
-def test_compact_no_pruning_falls_through():
-    conf = lightglue_config(
-        "superpoint", depth_confidence=-1.0, width_confidence=0.9999,
-        pruning_min_kpts=-1, filter_threshold=0.0,
-    )
-    params = lg.init_params(jax.random.key(1), conf)
-    inputs = _inputs(1, 1, 64, 64)
-    masked = jax.jit(lg.forward, static_argnames=("conf",))(
-        params, conf, **inputs
-    )
-    compact = match_adaptive_compact(
-        params, conf, n_prefix=3, buckets=(64,), **inputs
-    )
-    np.testing.assert_array_equal(
-        np.asarray(compact.matches0), np.asarray(masked.matches0)
     )
 
 

@@ -35,7 +35,8 @@ def test_warmup_compiles_bucket_grid(small_matcher):
     conf, params = small_matcher
     bm = BatchMatcher(conf, params, buckets=(16, 32), max_batch=2)
     n = bm.warmup(batches=(1, 2))
-    assert n == 2 * 2  # two buckets x two batch sizes
+    # two buckets x two batch sizes x (with/without image_size)
+    assert n == 2 * 2 * 2
 
     rng = np.random.default_rng(0)
     res = bm.match_pairs(_pairs(rng, [(10, 12), (30, 7), (16, 16)]))
@@ -49,7 +50,7 @@ def test_warmup_mesh_shardings(small_matcher):
     conf, params = small_matcher
     mesh = make_mesh(4, devices=jax.devices("cpu")[:4])
     bm = BatchMatcher(conf, params, mesh=mesh, buckets=(16,), max_batch=4)
-    assert bm.warmup(batches=(4,)) == 1
+    assert bm.warmup(batches=(4,)) == 2
     rng = np.random.default_rng(1)
     res = bm.match_pairs(_pairs(rng, [(8, 8)] * 4))
     assert len(res) == 4
