@@ -36,8 +36,11 @@ class LightGlueConfig:
     # TPU-specific: number of keypoints below which width pruning is skipped.
     # Mirrors reference pruning_keypoint_thresholds (lightglue.py:339-344) but
     # with a single TPU entry — pruning on TPU is mask-based, so its overhead
-    # is one extra matchability matmul per layer.
-    pruning_min_kpts: int = 1024
+    # is one extra matchability matmul per layer; 512 (vs the reference's
+    # cuda=1024) keeps pruning live at the common 1024-kpt operating point
+    # (the reference's strict `>` means 1024 kpts never prune there), which
+    # is what lets two-stage compaction shrink its bucket honestly.
+    pruning_min_kpts: int = 512
     # On-device two-stage compaction (forward_adaptive_twostage): after
     # `compaction_prefix` layers, gather pruning survivors into a bucket of
     # `compaction_bucket` points and run the remaining layers at that size.

@@ -63,3 +63,38 @@ def make_end_to_end(
         return E2EOutput(f0, f1, out)
 
     return run
+
+
+def make_sequence_end_to_end(
+    extractor_forward: Callable,
+    extractor_params: nn.Params,
+    extractor_conf,
+    matcher_params: nn.Params,
+    matcher_conf,
+):
+    """Extract-once / match-consecutive pipeline: ONE jit program taking
+    (images (B, H, W, C), sizes (B, 2)) and returning matches for the B-1
+    consecutive pairs (i, i+1).
+
+    This is the production sequence/SLAM/video regime (and the hloc
+    pattern the reference ecosystem uses: features extracted once per
+    image, then matched across many pairs) — each image is extracted
+    exactly once, so per-pair cost is 1x extraction + 1x matching instead
+    of the 2x extraction of independent ``match_pair`` calls.
+    """
+
+    @jax.jit
+    def run(images, sizes):
+        f = extractor_forward(extractor_params, extractor_conf, images, sizes)
+        sl0 = jax.tree.map(lambda a: a[:-1], f)
+        sl1 = jax.tree.map(lambda a: a[1:], f)
+        out = lg.forward(
+            matcher_params, matcher_conf,
+            kpts0=sl0.keypoints, kpts1=sl1.keypoints,
+            desc0=sl0.descriptors, desc1=sl1.descriptors,
+            size0=sizes[:-1], size1=sizes[1:],
+            mask0=sl0.valid, mask1=sl1.valid,
+        )
+        return E2EOutput(sl0, sl1, out)
+
+    return run

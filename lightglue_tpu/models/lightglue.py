@@ -657,13 +657,14 @@ def forward_adaptive_twostage(
     """Adaptive forward with ON-DEVICE width-pruning compaction.
 
     Runs ``n_prefix`` layers at full size, then gathers the surviving points
-    (active-first stable ordering) into a STATIC ``bucket`` per image and
-    runs the remaining layers + assignment at the smaller size — harvesting
-    the reference's index_select pruning (lightglue.py:551-566) as real N^2
-    FLOP savings without any host round-trip. If more than ``bucket`` points
-    survive in an image, the overflow (lowest matchability last in index
-    order) is dropped — the same spirit as the reference's n_limit cap
-    (aliked-style) and DKD truncation.
+    into a STATIC ``bucket`` per image and runs the remaining layers +
+    assignment at the smaller size — harvesting the reference's
+    index_select pruning (lightglue.py:551-566) as real N^2 FLOP savings
+    without any host round-trip. Survivors are ordered by matchability
+    (descending) so that if more than ``bucket`` points survive in an
+    image, the overflow drops the LEAST matchable points first — the
+    measured agreement cost of this cap is tracked in
+    benchmarks/compaction_accuracy.json.
 
     Output indices/scores/prune are scattered back to the ORIGINAL
     numbering (reference lightglue.py:606-614).
@@ -676,15 +677,24 @@ def forward_adaptive_twostage(
         size0, size1, mask0, mask1, scales0, oris0, scales1, oris1,
     )
 
-    def compact(desc, kn, prune, act):
-        order = jnp.argsort(~act, axis=1, stable=True)  # actives first
+    # overflow ranking: matchability at the last prefix layer (the same
+    # signal the reference prunes on, lightglue.py:551-566)
+    la_pre = nn.index_params(params["log_assignment"], n_prefix - 1)
+    sc0 = asg.get_matchability(la_pre, st.desc0.astype(jnp.float32))
+    sc1 = asg.get_matchability(la_pre, st.desc1.astype(jnp.float32))
+
+    def compact(desc, kn, prune, act, sc):
+        # ascending sort of (inactive-flag, -matchability): actives first,
+        # most matchable first within actives
+        key = jnp.where(act, -sc, 2.0 - sc)
+        order = jnp.argsort(key, axis=1, stable=True)
         ind = order[:, :bucket]
         take2 = lambda a: jnp.take_along_axis(a, ind, axis=1)
         take3 = lambda a: jnp.take_along_axis(a, ind[..., None], axis=1)
         return take3(desc), take3(kn), take2(prune), take2(act), ind
 
-    d0, kn0, p0, a0, ind0 = compact(st.desc0, st.kn0, st.prune0, st.act0)
-    d1, kn1, p1, a1, ind1 = compact(st.desc1, st.kn1, st.prune1, st.act1)
+    d0, kn0, p0, a0, ind0 = compact(st.desc0, st.kn0, st.prune0, st.act0, sc0)
+    d1, kn1, p1, a1, ind1 = compact(st.desc1, st.kn1, st.prune1, st.act1, sc1)
     out = forward_suffix(
         params, conf,
         PrefixState(st.i, d0, d1, a0, a1, p0, p1, st.stop, kn0, kn1,

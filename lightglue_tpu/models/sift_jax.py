@@ -127,25 +127,39 @@ def build_pyramid(
     return gaussians, dogs, n_octaves
 
 
+def _pool3(x: jnp.ndarray, op) -> jnp.ndarray:
+    """Separable 3x3x3 neighborhood reduce (edge-padded): three 3-tap
+    passes instead of 26 shifted copies — the roll-per-neighbor chain
+    materialized the (L, H, W) volume 52 times; this touches it 6 times.
+    Edge padding only differs from the roll version at volume borders,
+    which the caller masks out (border >= 5, interior layers only)."""
+    for axis in range(3):
+        widths = [(0, 0)] * 3
+        widths[axis] = (1, 1)
+        p = jnp.pad(x, widths, mode="edge")
+        n = x.shape[axis]
+        sl = [slice(None)] * 3
+
+        def take(off):
+            s = list(sl)
+            s[axis] = slice(off, off + n)
+            return p[tuple(s)]
+
+        x = op(op(take(0), take(1)), take(2))
+    return x
+
+
 def _extrema_candidates(dog_stack: jnp.ndarray, n_cand: int, thr: float):
     """dog_stack: (L, H, W). Find 26-neighbor extrema in layers 1..L-2 and
     return top-n_cand by |response|: (layer, y, x) int32 + validity."""
     l, h, w = dog_stack.shape
     center = dog_stack[1:-1]
 
-    def shift(arr, dl, dy, dx):
-        return jnp.roll(arr, (dl, dy, dx), axis=(0, 1, 2))[1:-1]
-
-    is_max = jnp.ones_like(center, bool)
-    is_min = jnp.ones_like(center, bool)
-    for dl in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dl == 0 and dy == 0 and dx == 0:
-                    continue
-                nb = shift(dog_stack, -dl, -dy, -dx)
-                is_max &= center >= nb
-                is_min &= center <= nb
+    # center >= all 26 neighbors  <=>  center == max over the 3x3x3
+    # neighborhood (which includes center); same for min. OpenCV's
+    # comparisons are >=/<= so the equality form is exact.
+    is_max = center == _pool3(dog_stack, jnp.maximum)[1:-1]
+    is_min = center == _pool3(dog_stack, jnp.minimum)[1:-1]
     # OpenCV branches on sign: a "maximum" must be positive, a "minimum"
     # negative (sift.cpp findScaleSpaceExtrema)
     strong = jnp.abs(center) > thr
@@ -537,27 +551,42 @@ def extract_single(
         hist = _orientation_hist(mags, oris_map, lg_idx, fy, fx, sigma_rel)
         angles, aok = jax.lax.optimization_barrier(_hist_peaks(hist))
 
-        # fold the orientation axis into the keypoint axis: one descriptor
-        # call per octave instead of MAX_ORI (halves trace/compile size)
+        # fold the orientation axis into the keypoint axis, then COMPACT
+        # the (keypoint, orientation) instances to k_total before the
+        # descriptor stage: the final output keeps at most k_total
+        # instances globally, so per-octave descriptor work beyond k_total
+        # is dead — and most instances are invalid anyway (secondary
+        # orientation peaks are rare). Cuts descriptor gathers ~MAX_ORI x.
         rep = lambda v: jnp.repeat(v, MAX_ORI, axis=0)
+        inst = dict(
+            li=rep(lg_idx), fy=rep(fy), fx=rep(fx), sig=rep(sigma_rel),
+            ang=angles.reshape(-1), resp=rep(resp),
+            valid=(valid[:, None] & aok).reshape(-1),
+        )
+        n_inst = min(n_cand * MAX_ORI, k_total)
+        if inst["resp"].shape[0] > n_inst:
+            _, keep_i = jax.lax.top_k(
+                jnp.where(inst["valid"], inst["resp"], -1.0), n_inst
+            )
+            inst = jax.lax.optimization_barrier(
+                {key: a[keep_i] for key, a in inst.items()}
+            )
         descs = _descriptors(
-            mags, oris_map, rep(lg_idx), rep(fy), rep(fx), rep(sigma_rel),
-            angles.reshape(-1),
-        ).reshape(n_cand, MAX_ORI, 128)
+            mags, oris_map, inst["li"], inst["fy"], inst["fx"], inst["sig"],
+            inst["ang"],
+        )
 
         octave_scale = 2.0 ** (o + first)
-        kx = fx * octave_scale
-        ky = fy * octave_scale
-        ksize = sigma_rel * octave_scale * 2.0  # OpenCV kpt.size = sigma*2
         per_octave.append(
             dict(
-                x=jnp.tile(kx[:, None], (1, MAX_ORI)).reshape(-1),
-                y=jnp.tile(ky[:, None], (1, MAX_ORI)).reshape(-1),
-                size=jnp.tile(ksize[:, None], (1, MAX_ORI)).reshape(-1),
-                resp=jnp.tile(resp[:, None], (1, MAX_ORI)).reshape(-1),
-                ori=angles.reshape(-1),
-                valid=(valid[:, None] & aok).reshape(-1),
-                desc=descs.reshape(-1, 128),
+                x=inst["fx"] * octave_scale,
+                y=inst["fy"] * octave_scale,
+                # OpenCV kpt.size = sigma * 2
+                size=inst["sig"] * octave_scale * 2.0,
+                resp=inst["resp"],
+                ori=inst["ang"],
+                valid=inst["valid"],
+                desc=descs,
             )
         )
 

@@ -168,9 +168,15 @@ def save_params(path: str, params: dict) -> None:
     np.savez(path, **flatten_tree(params))
 
 
-def load_params(path: str) -> dict:
+def load_params(path: str, dtype=None) -> dict:
+    """Load a flat-npz checkpoint. ``dtype`` (e.g. np.float32) upcasts
+    storage dtypes — used for f16-compressed checkpoints like the
+    synthetic-trained matcher (scripts/train_synthetic.py)."""
     with np.load(path) as f:
-        return unflatten_tree({k: f[k] for k in f.files})
+        flat = {k: f[k] for k in f.files}
+    if dtype is not None:
+        flat = {k: v.astype(dtype) for k, v in flat.items()}
+    return unflatten_tree(flat)
 
 
 def _deform_conv(sd, prefix: str) -> dict:

@@ -5,10 +5,44 @@ import jax.numpy as jnp
 import jax
 
 from lightglue_tpu.configs import SuperPointConfig, lightglue_config
-from lightglue_tpu.end_to_end import make_end_to_end
+from lightglue_tpu.end_to_end import make_end_to_end, make_sequence_end_to_end
 from lightglue_tpu.models import lightglue as lg
 from lightglue_tpu.models import superpoint as sp
 from lightglue_tpu.utils.image import load_image, resize_image, pad_to_multiple
+
+
+def test_sequence_e2e_consecutive_pairs():
+    """Extract-once sequence pipeline: B images -> B-1 pair results that
+    match the independent pairwise program exactly."""
+    sp_conf = SuperPointConfig(max_num_keypoints=64)
+    sp_params = sp.init_params(jax.random.key(0), sp_conf)
+    lg_conf = lightglue_config(
+        "superpoint", depth_confidence=-1.0, width_confidence=-1.0,
+        filter_threshold=0.0,
+    )
+    lg_params = lg.init_params(jax.random.key(1), lg_conf)
+    seq = make_sequence_end_to_end(
+        sp.forward, sp_params, sp_conf, lg_params, lg_conf
+    )
+    pair = make_end_to_end(sp.forward, sp_params, sp_conf, lg_params, lg_conf)
+
+    rng = np.random.default_rng(0)
+    b, h, w = 3, 64, 80
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32))
+    sizes = jnp.asarray(np.tile([[float(w), float(h)]], (b, 1)))
+    out = seq(imgs, sizes)
+    assert out.matches.matches0.shape == (b - 1, 64)
+
+    ref01 = pair(imgs[0:1], imgs[1:2], sizes[0:1], sizes[1:2])
+    np.testing.assert_array_equal(
+        np.asarray(out.matches.matches0[0]),
+        np.asarray(ref01.matches.matches0[0]),
+    )
+    ref12 = pair(imgs[1:2], imgs[2:3], sizes[1:2], sizes[2:3])
+    np.testing.assert_array_equal(
+        np.asarray(out.matches.matches0[1]),
+        np.asarray(ref12.matches.matches0[0]),
+    )
 
 
 def test_e2e_superpoint_match():
