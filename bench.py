@@ -6,18 +6,16 @@ breakdown (fixed floor / masked adaptive / headline / end-to-end per
 extractor) is written to benchmarks/bench_detail.json, and per-kernel
 Pallas-vs-XLA agreement to benchmarks/kernel_agreement.json.
 
-Headline config = two-stage width-pruning compaction (reference adaptive
-width, lightglue.py:551-566, harvested as real FLOP savings): a prefix of
-full-size layers, survivors compacted on device to a static bucket
-(matchability-ranked overflow), remaining layers + assignment at the bucket
-size; bf16 compute; single-pass bidirectional cross kernel. The accuracy
-cost of the bucket cap is measured in benchmarks/compaction_accuracy.json
-(scripts/compaction_accuracy.py, synthetic-trained weights) and the
-bucket/prefix here must be a >=0.99-agreement configuration. When the
-synthetic-trained checkpoint (weights/synthetic_superpoint_lightglue.npz)
-is present, adaptive lines run it on the correlated synthetic workload
-(lightglue_tpu.train.synthetic_batch) so depth-exit/pruning behave
-realistically; the fixed floor uses random weights (timing-equivalent).
+Headline config = EXACT reference adaptive semantics (masked depth
+early-exit + width pruning, lightglue.py:538-566 — no approximation): with
+the synthetic-trained checkpoint (weights/synthetic_superpoint_lightglue.npz)
+on the correlated workload (lightglue_tpu.train.synthetic_batch) the
+confidence head exits at ~layer 3, which the lax.while_loop harvests as
+real savings. Detail lines add the honest fixed floor (random weights, all
+9 layers) and the two-stage compaction path — compaction survivors are
+capped to a static bucket, whose accuracy cost is measured in
+benchmarks/compaction_accuracy.json (scripts/compaction_accuracy.py); the
+bucket/prefix used must be a >=0.99-agreement configuration.
 
 Timing methodology (see .claude/skills/verify/SKILL.md): the axon TPU
 tunnel's block_until_ready can return before execution completes, so work is
@@ -389,8 +387,13 @@ def main(M=1024, BATCH=None, REPS=8):
     from lightglue_tpu.models import lightglue as lg
 
     tiny = M < 512  # contract-test mode (CPU backend, no detail lines)
-    headline_batch = BATCH if BATCH is not None else (2 if tiny else 64)
+    # B16 beats B64 for the adaptive headline: the early-exit decision is
+    # batch-pooled (reference check_if_stop semantics, lightglue.py:645-656),
+    # so a larger batch exits at the depth of its hardest pairs (measured:
+    # 2194 pairs/s @B16 vs 1733 @B64 on the difficulty-jittered workload)
+    headline_batch = BATCH if BATCH is not None else (2 if tiny else 16)
     floor_batch = min(headline_batch, 16)
+    twostage_batch = BATCH if BATCH is not None else (2 if tiny else 64)
 
     base = lightglue_config("superpoint", mp=True)
     rand_params = lg.init_params(jax.random.key(0), base)
@@ -400,9 +403,19 @@ def main(M=1024, BATCH=None, REPS=8):
     wtag = "trained" if trained is not None else "random-init"
 
     prefix, bucket, agreement = _pick_headline_config()
-    bucket = min(bucket, M // 2)
-    headline_conf = base.replace(
+    if bucket > M // 2:  # tiny contract mode: shrink, agreement no longer applies
+        bucket, agreement = M // 2, None
+    twostage_conf = base.replace(
         compaction_bucket=bucket, compaction_prefix=prefix,
+        cross_softmax_shift=12.0, self_softmax_shift=12.0,
+    )
+    # headline config: EXACT reference adaptive semantics (masked depth
+    # early-exit + width pruning, lightglue.py:538-566 — no compaction
+    # approximation). With the synthetic-trained checkpoint the confidence
+    # head exits at ~layer 3 like the paper reports, which beats the
+    # compaction path outright; twostage remains a detail line for the
+    # no-early-exit regime.
+    headline_conf = base.replace(
         cross_softmax_shift=12.0, self_softmax_shift=12.0,
     )
     adaptive_inputs = (
@@ -422,31 +435,30 @@ def main(M=1024, BATCH=None, REPS=8):
             _time_forward(fixed, rand_params, _inputs(M, floor_batch),
                           floor_batch, reps=REPS), 1
         )
-        # reference-equivalent adaptive semantics (masks, no FLOP savings)
-        adaptive_floor_inputs = (
-            _synthetic_inputs(M, floor_batch)
-            if trained is not None
-            else _inputs(M, floor_batch)
-        )
-        detail[f"adaptive masked bf16 B{floor_batch} ({wtag}, {workload})"] = (
-            round(
-                _time_forward(
-                    base.replace(cross_softmax_shift=12.0,
-                                 self_softmax_shift=12.0),
-                    adaptive_params, adaptive_floor_inputs, floor_batch,
-                    reps=REPS,
-                ), 1,
-            )
-        )
     headline = _time_forward(
         headline_conf, adaptive_params, adaptive_inputs, headline_batch,
         reps=REPS,
     )
-    agree_tag = f", {agreement:.3f} agreement" if agreement else ""
     detail[
-        f"twostage compaction p{prefix} b{bucket} bf16 B{headline_batch} "
-        f"({wtag}, {workload}{agree_tag}) (headline)"
+        f"adaptive masked bf16 B{headline_batch} ({wtag}, {workload}) "
+        "(headline, exact reference semantics)"
     ] = round(headline, 1)
+    if not tiny:
+        agree_tag = f", {agreement:.3f} agreement" if agreement else ""
+        twostage_inputs = (
+            _synthetic_inputs(M, twostage_batch)
+            if trained is not None
+            else _inputs(M, twostage_batch)
+        )
+        detail[
+            f"twostage compaction p{prefix} b{bucket} bf16 B{twostage_batch} "
+            f"({wtag}, {workload}{agree_tag})"
+        ] = round(
+            _time_forward(
+                twostage_conf, adaptive_params, twostage_inputs,
+                twostage_batch, reps=REPS,
+            ), 1,
+        )
     if not tiny:
         for ex in ("superpoint", "aliked", "disk"):
             key = f"end-to-end {ex}(bf16) x2 + match B8"
@@ -486,12 +498,11 @@ def main(M=1024, BATCH=None, REPS=8):
 
     result = {
         "metric": (
-            f"image pairs/sec @{M} kpts — LightGlue matcher, two-stage "
-            f"width-pruning compaction (prefix {prefix} -> {bucket}-pt "
-            f"bucket{agree_tag} vs exact adaptive, "
-            "benchmarks/compaction_accuracy.json), "
-            f"{wtag} weights on {workload} workload, bf16, single-pass "
-            f"cross kernel, batch {headline_batch}; fixed floor + e2e in "
+            f"image pairs/sec @{M} kpts — LightGlue matcher, EXACT adaptive "
+            "reference semantics (masked depth early-exit + width pruning, "
+            f"no compaction approximation), {wtag} weights on {workload} "
+            f"workload, bf16, single-pass cross kernel, batch "
+            f"{headline_batch}; fixed floor + twostage + e2e in "
             "benchmarks/bench_detail.json"
         ),
         "value": round(headline, 1),

@@ -67,7 +67,14 @@ def dense_forward(params: nn.Params, image: jnp.ndarray, mp: bool = False):
     (B, H/8, W/8, D), L2-normalized (superpoint.py:158-215).
 
     ``mp``: run convs in bfloat16 (fp32 accumulation via
-    preferred_element_type; softmax + descriptor norm stay fp32)."""
+    preferred_element_type; softmax + descriptor norm stay fp32).
+
+    Layout note: the VGG trunk stays as plain direct convs on purpose —
+    2x2 space-to-depth repackings of block 1/2 (phases conv + lane-wise
+    phase max-pool, im2col first conv) were each measured SLOWER in full
+    composition on v5e (direct 2.82 ms/img vs 3.09-3.95 for the packed
+    variants at 768x1024 B8) even though they win in isolation: XLA fuses
+    the direct chain better than any hand repacking."""
     if image.shape[-1] == 3:
         image = rgb_to_grayscale(image)
     x = image.astype(jnp.bfloat16) if mp else image

@@ -79,9 +79,15 @@ def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
     s = scores[..., None]  # (B, H, W, 1)
 
     def max_pool(x):
+        # separable: max over a (k x k) window == rows pass then cols pass
+        # (exact; 2k taps/pixel instead of k^2 — at the reference's r=4
+        # that is 18 vs 81 VPU compares over the full-res map per pool)
         k = 2 * nms_radius + 1
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, k, 1, 1), (1, 1, 1, 1), "SAME"
+        )
         return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1), "SAME"
+            x, -jnp.inf, jax.lax.max, (1, 1, k, 1), (1, 1, 1, 1), "SAME"
         )
 
     zeros = jnp.zeros_like(s)
