@@ -212,6 +212,24 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * hd)
 
 
+@functools.lru_cache(maxsize=None)
+def _deint_qkv_perm(num_heads: int, head_dim: int) -> np.ndarray:
+    """Static output-column permutation for the packed Wqkv projection
+    (layout ``(head*hd + dim)*3 + which``, reference lightglue.py:166) that
+    re-orders each head's q and k channels from interleaved pairs
+    ``(x1_0, x2_0, x1_1, x2_1, ...)`` to deinterleaved halves
+    ``(x1_0..x1_{hd/2-1}, x2_0..x2_{hd/2-1})``; v channels stay in place."""
+    hh = head_dim // 2
+    perm = np.empty(num_heads * head_dim * 3, np.int64)
+    for h in range(num_heads):
+        for j in range(head_dim):
+            src = 2 * j if j < hh else 2 * (j - hh) + 1  # deint source chan
+            perm[(h * head_dim + j) * 3 + 0] = (h * head_dim + src) * 3 + 0
+            perm[(h * head_dim + j) * 3 + 1] = (h * head_dim + src) * 3 + 1
+            perm[(h * head_dim + j) * 3 + 2] = (h * head_dim + j) * 3 + 2
+    return perm
+
+
 def self_block(
     p: nn.Params,
     x: jnp.ndarray,
@@ -224,15 +242,26 @@ def self_block(
     encoding: (2, B, 1, N, head_dim) rotary cache; key_mask: (B, N) True=valid.
     """
     num_heads = conf.num_heads
-    qkv = nn.linear(p["Wqkv"], x)
-    b, n, _ = qkv.shape
-    d = x.shape[-1]
+    b, n, d = x.shape
+    use_flash = _flash_ok(conf, n)
+    deint = use_flash and (d // num_heads) % 2 == 0
+    wqkv = p["Wqkv"]
+    if deint:
+        # pre-permute the projection's output columns so q/k come out in
+        # deinterleaved-pair layout (scores are permutation-invariant when
+        # q and k share it): rotary then needs NO interleave lane shuffle
+        # (ops/rotary.py::apply_rotary_deint)
+        perm = _deint_qkv_perm(num_heads, d // num_heads)
+        wqkv = {k_: v_[perm] if k_ == "b" else v_[:, perm]
+                for k_, v_ in wqkv.items()}
+    qkv = nn.linear(wqkv, x)
     # reference packing: unflatten(-1, (heads, head_dim, 3)) (lightglue.py:166)
     qkv = qkv.reshape(b, n, num_heads, d // num_heads, 3).transpose(0, 2, 1, 3, 4)
     q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
-    q = rotary.apply_rotary(encoding, q)
-    k = rotary.apply_rotary(encoding, k)
-    if _flash_ok(conf, n):
+    rot = rotary.apply_rotary_deint if deint else rotary.apply_rotary
+    q = rot(encoding, q)
+    k = rot(encoding, k)
+    if use_flash:
         context = flash_ops.flash_sdpa(
             q, k, v, key_mask, shift=conf.self_softmax_shift
         )

@@ -57,12 +57,60 @@ def test_rotate_half_and_rotary_apply():
     got = np.asarray(rotary.rotate_half(jnp.asarray(t)))
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
-    freqs = rng.standard_normal((2, 2, 1, 16, 64)).astype(np.float32)
+    # reference tables are repeat_interleave(2)'d (lightglue.py:81); ours
+    # are the half tables — build a valid pair and compare applications
+    half = rng.standard_normal((2, 2, 1, 16, 32)).astype(np.float32)
+    full = np.repeat(half, 2, axis=-1)
     ref = t2n(
-        ref_lg.apply_cached_rotary_emb(torch.from_numpy(freqs), torch.from_numpy(t))
+        ref_lg.apply_cached_rotary_emb(torch.from_numpy(full), torch.from_numpy(t))
     )
-    got = np.asarray(rotary.apply_rotary(jnp.asarray(freqs), jnp.asarray(t)))
+    got = np.asarray(rotary.apply_rotary(jnp.asarray(half), jnp.asarray(t)))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_apply_rotary_deint_is_permuted_apply_rotary():
+    """Deinterleaved-layout rotary == deinterleave(interleaved rotary):
+    the invariance that lets self_block pre-permute Wqkv columns
+    (models/lightglue.py::_deint_qkv_perm)."""
+    rng = np.random.default_rng(7)
+    t = jnp.asarray(rng.standard_normal((2, 4, 16, 64)).astype(np.float32))
+    enc = jnp.asarray(
+        rng.standard_normal((2, 2, 1, 16, 32)).astype(np.float32)
+    )
+    deint = lambda x: jnp.concatenate([x[..., 0::2], x[..., 1::2]], -1)
+    ref = deint(rotary.apply_rotary(enc, t))
+    got = rotary.apply_rotary_deint(enc, deint(t))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_deint_qkv_perm_scores_invariant():
+    """QK^T scores are unchanged when q and k both go through the Wqkv
+    column permutation + deint rotary (the flash self-attention path)."""
+    from lightglue_tpu.models.lightglue import _deint_qkv_perm
+
+    rng = np.random.default_rng(8)
+    H, hd, D = 4, 64, 256
+    w = rng.standard_normal((D, 3 * D)).astype(np.float32)
+    b = rng.standard_normal((3 * D,)).astype(np.float32)
+    x = rng.standard_normal((1, 16, D)).astype(np.float32)
+    enc = jnp.asarray(
+        rng.standard_normal((2, 1, 1, 16, hd // 2)).astype(np.float32)
+    )
+
+    def qk(wm, bv, rot):
+        qkv = (x @ wm + bv).reshape(1, 16, H, hd, 3).transpose(0, 2, 1, 3, 4)
+        q, k = jnp.asarray(qkv[..., 0]), jnp.asarray(qkv[..., 1])
+        return rot(enc, q), rot(enc, k)
+
+    q0, k0 = qk(w, b, rotary.apply_rotary)
+    perm = _deint_qkv_perm(H, hd)
+    q1, k1 = qk(w[:, perm], b[perm], rotary.apply_rotary_deint)
+    s0 = jnp.einsum("bhnd,bhmd->bhnm", q0, k0)
+    s1 = jnp.einsum("bhnd,bhmd->bhnm", q1, k1)
+    # summation order differs (permuted contraction): relative tolerance
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-3
+    )
 
 
 def test_fourier_posenc():
@@ -73,7 +121,9 @@ def test_fourier_posenc():
     ref = t2n(ref_pe(torch.from_numpy(kpts)))
     params = {"Wr": {"w": jnp.asarray(t2n(ref_pe.Wr.weight).T)}}
     got = np.asarray(rotary.fourier_posenc(params, jnp.asarray(kpts)))
-    np.testing.assert_allclose(got, ref, atol=5e-4)
+    # ours is the half table; the reference's is repeat_interleave(2)'d
+    np.testing.assert_allclose(ref[..., 0::2], ref[..., 1::2], atol=0)
+    np.testing.assert_allclose(got, ref[..., 0::2], atol=5e-4)
 
 
 def test_sigmoid_log_double_softmax():
