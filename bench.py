@@ -390,6 +390,42 @@ def _kernel_agreement(m=512, n=512, b=2, seed=0):
 
     fr, fg = _run_ffn()
     out["fused_ffn_vs_xla"] = maxdiff(fg, fr)
+
+    # whole-block fused kernels (ops/flash_self.py, ops/flash_cross_block.py)
+    # vs the composed XLA blocks (flash off => sdpa + unfused FFN)
+    from lightglue_tpu.configs import lightglue_config
+    from lightglue_tpu.ops import flash_self as flash_self_ops
+    from lightglue_tpu.ops import flash_cross_block as fcb_ops
+    from lightglue_tpu.ops import rotary
+
+    conf_off = lightglue_config(
+        "superpoint", flash=False, fused_ffn=False
+    )
+    sb = lg._self_block_init(jax.random.key(5), 256)
+    cb = lg._cross_block_init(jax.random.key(6), 256)
+    kn = f32(b, m, 2) * 0.5
+    enc = rotary.fourier_posenc(
+        rotary.fourier_posenc_init(jax.random.key(7), 2, 64), kn
+    )
+
+    @jax.jit
+    def _run_blocks():
+        ref_s = lg.self_block(sb, d0, enc, conf_off, valid0)
+        got_s = flash_self_ops.fused_self_block(
+            sb, d0, enc, 4, valid0, shift=12.0
+        )
+        ref_c0, ref_c1 = lg.cross_block(cb, d0, d1, conf_off, valid0, valid)
+        got_c0, got_c1 = fcb_ops.fused_cross_block(
+            cb, d0, d1, 4, valid0, valid, shift=12.0
+        )
+        return ref_s, got_s, ref_c0, got_c0, ref_c1, got_c1
+
+    rs_, gs_, rc0, gc0, rc1, gc1 = _run_blocks()
+    mask0f = valid0[..., None].astype(jnp.float32)
+    mask1f = valid[..., None].astype(jnp.float32)
+    out["fused_self_block_vs_xla"] = maxdiff(gs_ * mask0f, rs_ * mask0f)
+    out["fused_cross_block_m0_vs_xla"] = maxdiff(gc0 * mask0f, rc0 * mask0f)
+    out["fused_cross_block_m1_vs_xla"] = maxdiff(gc1 * mask1f, rc1 * mask1f)
     return out
 
 

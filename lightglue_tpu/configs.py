@@ -62,6 +62,18 @@ class LightGlueConfig:
     # composition within the documented ~1e-4 envelope (docs/PARITY.md);
     # set False to force the XLA composition for bitwise debugging.
     fused_ffn: bool = True
+    # Whole-SelfBlock fusion (ops/flash_self.py): Wqkv + rotary + attention
+    # + out_proj + FFN in ONE Pallas program — eliminates every intermediate
+    # HBM round-trip of the self block. Shares the fused-FFN numeric
+    # envelope (it embeds the same FFN math), so it only engages when
+    # fused_ffn is also True; set False to fall back to the composed
+    # Wqkv/rotary/flash_sdpa/FFN pipeline.
+    fused_self: bool = True
+    # Whole-CrossBlock fusion (ops/flash_cross_block.py): to_qk/to_v
+    # projections + single-exp bidirectional attention + to_out + FFN in ONE
+    # Pallas program. Requires cross_softmax_shift (the single-exp trick)
+    # and engages under the same fused_ffn gate as fused_self.
+    fused_cross: bool = True
 
     def __post_init__(self):
         if self.descriptor_dim % self.num_heads != 0:

@@ -59,10 +59,21 @@ def make_end_to_end(
             desc0=f0.descriptors, desc1=f1.descriptors,
             size0=size0, size1=size1,
             mask0=f0.valid, mask1=f1.valid,
+            **_scale_ori_kw(f0, f1),
         )
         return E2EOutput(f0, f1, out)
 
     return run
+
+
+def _scale_ori_kw(f0, f1) -> dict:
+    """scales/oris matcher kwargs for SIFT-family features (consumed when
+    matcher_conf.add_scale_ori; reference lightglue.py:495-501)."""
+    if f0.scales is None:
+        return {}
+    return dict(
+        scales0=f0.scales, oris0=f0.oris, scales1=f1.scales, oris1=f1.oris
+    )
 
 
 def make_sequence_end_to_end(
@@ -94,6 +105,7 @@ def make_sequence_end_to_end(
             desc0=sl0.descriptors, desc1=sl1.descriptors,
             size0=sizes[:-1], size1=sizes[1:],
             mask0=sl0.valid, mask1=sl1.valid,
+            **_scale_ori_kw(sl0, sl1),
         )
         return E2EOutput(sl0, sl1, out)
 

@@ -121,3 +121,35 @@ def extract_laf_patches(
         v10 * (1 - wx) + v11 * wx
     ) * wy
     return vals.reshape(-1, ps, ps, 1)
+
+
+def forward(params, conf, images: jnp.ndarray, sizes=None):
+    """Device-side DoGHardNet: TPU SIFT detection + HardNet descriptors on
+    LAF patches, one program (reference dog_hardnet.py:27-39 runs this as a
+    host loop around OpenCV + kornia). ``conf`` is a SIFTConfig; ``params``
+    the HardNet param pytree. images: (B, H, W) gray or (B, H, W, 1) float
+    [0, 1]. Returns Features (scales/oris populated, no RootSIFT)."""
+    from . import sift_jax
+    from .superpoint import Features
+
+    if images.ndim == 4:
+        images = images[..., 0]
+    det = sift_jax.extract_batch(images, conf)
+    # LAF scale = 6 * kpt.size (reference dog_hardnet.py:35)
+    patches = jax.vmap(
+        lambda im, k, s, o: extract_laf_patches(im, k, 6.0 * s, o)
+    )(images, det["keypoints"], det["scales"], det["oris"])
+    b, k = patches.shape[:2]
+    desc = describe_patches(
+        params, patches.reshape(b * k, *patches.shape[2:])
+    ).reshape(b, k, -1)
+    desc = jnp.where(det["valid"][..., None], desc, 0.0)
+    return Features(
+        keypoints=det["keypoints"],
+        keypoint_scores=det["keypoint_scores"],
+        descriptors=desc,
+        valid=det["valid"],
+        image_size=sizes,
+        scales=det["scales"],
+        oris=det["oris"],
+    )

@@ -30,8 +30,10 @@ from ..ops import assignment as asg
 from ..ops import attention as attn_ops
 from ..ops import ffn as ffn_ops
 from ..ops import flash as flash_ops
+from ..ops import flash_self as flash_self_ops
 from ..ops import assignment_fused as fasg_ops
 from ..ops import flash_cross as flash_cross_ops
+from ..ops import flash_cross_block as flash_cross_block_ops
 from ..ops import rotary
 from ..ops.keypoints import normalize_keypoints
 from ..utils import diagnostics
@@ -245,6 +247,19 @@ def self_block(
     b, n, d = x.shape
     use_flash = _flash_ok(conf, n)
     deint = use_flash and (d // num_heads) % 2 == 0
+    if (
+        use_flash
+        and deint
+        and conf.fused_self
+        and conf.fused_ffn
+        and n <= flash_self_ops.MAX_FUSED_N
+    ):
+        # whole-block fusion: qkv + rotary + attention + out_proj + FFN in
+        # one Pallas program (ops/flash_self.py)
+        return flash_self_ops.fused_self_block(
+            p, x, encoding, num_heads, key_mask,
+            shift=conf.self_softmax_shift,
+        )
     wqkv = p["Wqkv"]
     if deint:
         # pre-permute the projection's output columns so q/k come out in
@@ -283,6 +298,20 @@ def cross_block(
     """Shared-QK bidirectional cross attention (reference CrossBlock,
     lightglue.py:201-230). mask0/mask1: (B, M)/(B, N) validity."""
     num_heads = conf.num_heads
+    if (
+        conf.fused_cross
+        and conf.fused_ffn
+        and conf.cross_softmax_shift is not None
+        and conf.head_dim <= flash_cross_ops._ONES_COL
+        and max(x0.shape[1], x1.shape[1]) <= flash_cross_block_ops.MAX_FUSED_N
+        and _flash_ok(conf, x0.shape[1], x1.shape[1])
+    ):
+        # whole-block fusion: projections + single-exp bidirectional
+        # attention + out proj + FFN in one Pallas program
+        return flash_cross_block_ops.fused_cross_block(
+            p, x0, x1, num_heads, mask0, mask1,
+            shift=conf.cross_softmax_shift,
+        )
     qk0 = _split_heads(nn.linear(p["to_qk"], x0), num_heads)
     qk1 = _split_heads(nn.linear(p["to_qk"], x1), num_heads)
     v0 = _split_heads(nn.linear(p["to_v"], x0), num_heads)

@@ -616,3 +616,41 @@ def extract_batch(images: jnp.ndarray, conf: SIFTConfig):
     per image on the host, sift.py:205-212).
     """
     return jax.vmap(lambda im: extract_single(im, conf))(images)
+
+
+def rootsift(desc: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """RootSIFT on device: L1-normalize, sqrt, L2-normalize (reference
+    sift_to_rootsift, sift.py:53-56 — there in numpy/torch on host)."""
+    x = desc / jnp.maximum(
+        jnp.sum(jnp.abs(desc), axis=-1, keepdims=True), eps
+    )
+    x = jnp.sqrt(jnp.maximum(x, 0.0))
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def forward(params, conf: SIFTConfig, images: jnp.ndarray, sizes=None):
+    """Extractor-forward surface matching models/{superpoint,...}.forward so
+    SIFT plugs into the single-program end-to-end pipelines
+    (end_to_end.py). ``params`` is unused (SIFT is handcrafted — kept for
+    signature uniformity). images: (B, H, W) gray or (B, H, W, 1) float
+    [0, 1]. Returns Features with scales/oris populated and RootSIFT
+    descriptors (conf.rootsift)."""
+    from .superpoint import Features
+
+    if images.ndim == 4:
+        images = images[..., 0]
+    out = extract_batch(images, conf)
+    desc = out["descriptors"]
+    if conf.rootsift:
+        desc = jnp.where(
+            out["valid"][..., None], rootsift(desc), 0.0
+        )
+    return Features(
+        keypoints=out["keypoints"],
+        keypoint_scores=out["keypoint_scores"],
+        descriptors=desc,
+        valid=out["valid"],
+        image_size=sizes,
+        scales=out["scales"],
+        oris=out["oris"],
+    )

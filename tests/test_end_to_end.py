@@ -83,3 +83,67 @@ def test_e2e_superpoint_match():
     for i in np.nonzero(m0[0] >= 0)[0]:
         assert valid0[0, i]
         assert valid1[0, m0[0, i]]
+
+
+def test_e2e_sift_device_match():
+    """Device SIFT e2e: detection+RootSIFT on device feeding the scale/ori-
+    aware matcher in one program."""
+    from lightglue_tpu.configs import SIFTConfig
+    from lightglue_tpu.models import sift_jax
+
+    conf = SIFTConfig(max_num_keypoints=64, backend="jax")
+    lg_conf = lightglue_config(
+        "sift", depth_confidence=-1.0, width_confidence=-1.0,
+        filter_threshold=0.0,
+    )
+    lg_params = lg.init_params(jax.random.key(1), lg_conf)
+    run = make_end_to_end(sift_jax.forward, None, conf, lg_params, lg_conf)
+
+    im = load_image("/root/reference/assets/sacre_coeur1.jpg")
+    im, _ = resize_image(im, 96)
+    gray = np.asarray(im).mean(-1).astype(np.float32)
+    img0 = jnp.asarray(gray)[None]
+    img1 = jnp.asarray(gray[::-1].copy())[None]
+    sizes = jnp.asarray(
+        [[float(gray.shape[1]), float(gray.shape[0])]], jnp.float32
+    )
+    out = run(img0, img1, sizes, sizes)
+    assert out.feats0.keypoints.shape == (1, 64, 2)
+    assert out.feats0.scales is not None and out.feats0.oris is not None
+    assert np.asarray(out.feats0.valid).sum() > 5
+    assert out.matches.matches0.shape == (1, 64)
+
+
+def test_e2e_doghardnet_device_match():
+    """Device DoGHardNet e2e: SIFT detection + HardNet LAF descriptors +
+    matcher, one program."""
+    from lightglue_tpu.configs import SIFTConfig
+    from lightglue_tpu.models import hardnet
+
+    conf = SIFTConfig(max_num_keypoints=48, backend="jax")
+    hn_params = hardnet.init_params(jax.random.key(2))
+    lg_conf = lightglue_config(
+        "doghardnet", depth_confidence=-1.0, width_confidence=-1.0,
+        filter_threshold=0.0,
+    )
+    lg_params = lg.init_params(jax.random.key(1), lg_conf)
+    run = make_end_to_end(hardnet.forward, hn_params, conf, lg_params, lg_conf)
+
+    im = load_image("/root/reference/assets/sacre_coeur1.jpg")
+    im, _ = resize_image(im, 96)
+    gray = np.asarray(im).mean(-1).astype(np.float32)
+    img = jnp.asarray(gray)[None]
+    sizes = jnp.asarray(
+        [[float(gray.shape[1]), float(gray.shape[0])]], jnp.float32
+    )
+    out = run(img, img, sizes, sizes)
+    desc = np.asarray(out.feats0.descriptors)
+    valid = np.asarray(out.feats0.valid)[0]
+    assert desc.shape == (1, 48, 128)
+    # descriptors L2-normalized where valid
+    norms = np.linalg.norm(desc[0][valid], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    # identical images: every valid keypoint should match itself
+    m0 = np.asarray(out.matches.matches0)[0]
+    idx = np.where(valid)[0]
+    assert (m0[idx] == idx).mean() > 0.9
