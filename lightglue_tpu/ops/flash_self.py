@@ -183,7 +183,7 @@ def fused_self_block(
     num_heads: int,
     key_mask: Optional[jnp.ndarray] = None,
     shift: Optional[float] = None,
-    block_q: int = 256,
+    block_q: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run a whole SelfBlock (reference lightglue.py:159-172) in one kernel.
@@ -199,6 +199,11 @@ def fused_self_block(
     hd = d // num_heads
     hh = hd // 2
     dt = x.dtype
+    if block_q is None:
+        # one query block per (b, h) when the fp32 strip fits VMEM (~4 MB):
+        # measured 27.0 vs 31.7 us/image at N=1024 vs BQ=256 (fewer grid
+        # steps, no k/v-fill bubble)
+        block_q = n if n * n * 4 <= 4 * 2**20 else 256
     block_q = pick_block(n, block_q)
     has_mask = key_mask is not None
 
