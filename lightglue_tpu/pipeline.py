@@ -354,6 +354,31 @@ class LightGlue:
             params = weights_lib.load_params(params)
         self.params = params
         self._jit_forward = jax.jit(lg.forward, static_argnames=("conf",))
+        self.static_lengths: Optional[Tuple[int, ...]] = None
+
+    def compile(self, static_lengths=(256, 512, 768, 1024, 1280, 1536)):
+        """Register static padding buckets (reference LightGlue.compile,
+        lightglue.py:439-454): each request's keypoint buffers are padded to
+        the next bucket with validity masks, so every length in a bucket
+        hits one cached XLA program instead of recompiling per count.
+
+        Unlike the reference — which compiles per-layer torch graphs and
+        warns that width pruning is partially disabled under torch.compile
+        (lightglue.py:442-446) — every forward here is already a single
+        static-shape jit program, so adaptivity is unaffected; this only
+        controls the padding policy. For eager ahead-of-time compilation
+        of a bucket x batch grid plus a persistent cache, use
+        parallel.batching.BatchMatcher.warmup."""
+        self.static_lengths = tuple(sorted(static_lengths))
+        return self
+
+    def _bucket(self, n: int) -> Optional[int]:
+        if self.static_lengths is None:
+            return None
+        for b in self.static_lengths:
+            if n <= b:
+                return b
+        return None  # beyond the largest bucket: run unpadded
 
     def __call__(self, data: dict) -> dict:
         for key in ("image0", "image1"):
@@ -381,7 +406,42 @@ class LightGlue:
                 scales1=get(d1, "scales"),
                 oris1=get(d1, "oris"),
             )
+        m_orig = kw["kpts0"].shape[1]
+        n_orig = kw["kpts1"].shape[1]
+        for side, n_in in (("0", m_orig), ("1", n_orig)):
+            bucket = self._bucket(n_in)
+            if bucket is None or bucket == n_in:
+                continue
+            pad = bucket - n_in
+
+            def padded(x, value):
+                widths = [(0, 0)] * x.ndim
+                widths[1] = (0, pad)
+                return jnp.pad(x, widths, constant_values=value)
+
+            kw[f"kpts{side}"] = padded(kw[f"kpts{side}"], 1.0)
+            kw[f"desc{side}"] = padded(kw[f"desc{side}"], 0.0)
+            mask = kw[f"mask{side}"]
+            if mask is None:
+                b = kw[f"kpts{side}"].shape[0]
+                mask = jnp.ones((b, n_in), bool)
+            kw[f"mask{side}"] = padded(mask, False)
+            for extra in (f"scales{side}", f"oris{side}"):
+                if kw.get(extra) is not None:
+                    kw[extra] = padded(kw[extra], 0.0)
         out = self._jit_forward(self.params, self.conf, **kw)
+        if out.matches0.shape[1] != m_orig or out.matches1.shape[1] != n_orig:
+            # strip bucket padding back off (reference strips at
+            # lightglue.py:590-591); padded slots are masked, so no match
+            # index ever points into the pad band
+            out = out._replace(
+                matches0=out.matches0[:, :m_orig],
+                matches1=out.matches1[:, :n_orig],
+                matching_scores0=out.matching_scores0[:, :m_orig],
+                matching_scores1=out.matching_scores1[:, :n_orig],
+                prune0=out.prune0[:, :m_orig],
+                prune1=out.prune1[:, :n_orig],
+            )
         matches0 = np.asarray(out.matches0)
         mscores0 = np.asarray(out.matching_scores0)
         matches, scores = compact_matches(matches0, mscores0)

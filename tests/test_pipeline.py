@@ -147,3 +147,44 @@ def test_extract_batch():
     np.testing.assert_allclose(
         out["keypoints"][1], single["keypoints"][0], atol=1e-4
     )
+
+
+def test_compile_buckets_match_unpadded():
+    """compile(static_lengths) pads to buckets without changing results
+    (reference compile semantics, lightglue.py:439-454 + pad strip at
+    590-591) and reuses one program per bucket."""
+    import jax
+
+    from lightglue_tpu.models import lightglue as lg
+
+    rng = np.random.default_rng(0)
+
+    def feats(n, w=640.0, h=480.0, seed=0):
+        r = np.random.default_rng(seed)
+        return {
+            "keypoints": r.uniform(0, min(w, h), (1, n, 2)).astype(np.float32),
+            "descriptors": r.standard_normal((1, n, 256)).astype(np.float32),
+            "image_size": np.asarray([[w, h]], np.float32),
+        }
+
+    plain = LightGlue(
+        "superpoint", depth_confidence=-1.0, width_confidence=-1.0
+    )
+    compiled = LightGlue(
+        "superpoint", params=plain.params, conf=plain.conf
+    ).compile(static_lengths=(64, 128))
+
+    d = {"image0": feats(100, seed=1), "image1": feats(90, seed=2)}
+    ref = plain(d)
+    got = compiled(d)
+    np.testing.assert_array_equal(got["matches0"], ref["matches0"])
+    np.testing.assert_allclose(
+        got["matching_scores0"], ref["matching_scores0"], atol=1e-5
+    )
+    assert got["matches0"].shape == (1, 100)
+    assert got["matches1"].shape == (1, 90)
+
+    # a second length in the same bucket must NOT retrace
+    n_before = compiled._jit_forward._cache_size()
+    compiled({"image0": feats(97, seed=3), "image1": feats(70, seed=4)})
+    assert compiled._jit_forward._cache_size() == n_before
