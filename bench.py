@@ -418,14 +418,23 @@ def _kernel_agreement(m=512, n=512, b=2, seed=0):
         got_c0, got_c1 = fcb_ops.fused_cross_block(
             cb, d0, d1, 4, valid0, valid, shift=12.0
         )
-        return ref_s, got_s, ref_c0, got_c0, ref_c1, got_c1
+        ex_c0, ex_c1 = fcb_ops.fused_cross_block(
+            cb, d0, d1, 4, valid0, valid
+        )
+        return ref_s, got_s, ref_c0, got_c0, ref_c1, got_c1, ex_c0, ex_c1
 
-    rs_, gs_, rc0, gc0, rc1, gc1 = _run_blocks()
+    rs_, gs_, rc0, gc0, rc1, gc1, ec0, ec1 = _run_blocks()
     mask0f = valid0[..., None].astype(jnp.float32)
     mask1f = valid[..., None].astype(jnp.float32)
     out["fused_self_block_vs_xla"] = maxdiff(gs_ * mask0f, rs_ * mask0f)
     out["fused_cross_block_m0_vs_xla"] = maxdiff(gc0 * mask0f, rc0 * mask0f)
     out["fused_cross_block_m1_vs_xla"] = maxdiff(gc1 * mask1f, rc1 * mask1f)
+    out["fused_cross_block_exact_m0_vs_xla"] = maxdiff(
+        ec0 * mask0f, rc0 * mask0f
+    )
+    out["fused_cross_block_exact_m1_vs_xla"] = maxdiff(
+        ec1 * mask1f, rc1 * mask1f
+    )
     return out
 
 

@@ -71,8 +71,10 @@ class LightGlueConfig:
     fused_self: bool = True
     # Whole-CrossBlock fusion (ops/flash_cross_block.py): to_qk/to_v
     # projections + single-exp bidirectional attention + to_out + FFN in ONE
-    # Pallas program. Requires cross_softmax_shift (the single-exp trick)
-    # and engages under the same fused_ffn gate as fused_self.
+    # Pallas program; engages under the same fused_ffn gate as fused_self.
+    # With cross_softmax_shift=None the row softmax is exact and the column
+    # direction uses a per-(batch, head) global shift (the same numerics as
+    # ops/flash_cross.py's exact kernel).
     fused_cross: bool = True
 
     def __post_init__(self):

@@ -301,13 +301,13 @@ def cross_block(
     if (
         conf.fused_cross
         and conf.fused_ffn
-        and conf.cross_softmax_shift is not None
         and conf.head_dim <= flash_cross_ops._ONES_COL
         and max(x0.shape[1], x1.shape[1]) <= flash_cross_block_ops.MAX_FUSED_N
         and _flash_ok(conf, x0.shape[1], x1.shape[1])
     ):
         # whole-block fusion: projections + single-exp bidirectional
-        # attention + out proj + FFN in one Pallas program
+        # attention + out proj + FFN in one Pallas program (exact row
+        # softmax when cross_softmax_shift is None)
         return flash_cross_block_ops.fused_cross_block(
             p, x0, x1, num_heads, mask0, mask1,
             shift=conf.cross_softmax_shift,

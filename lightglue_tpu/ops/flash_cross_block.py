@@ -99,7 +99,7 @@ def _kernel(
     o0_ref, o1_ref,
     acc0, acc1,
     *,
-    num_heads: int, shift2: float, has_mask: bool, eps: float,
+    num_heads: int, shift2: Optional[float], has_mask: bool, eps: float,
 ):
     h = pl.program_id(1)
     f32 = jnp.float32
@@ -116,26 +116,45 @@ def _kernel(
 
     s = jax.lax.dot_general(
         qk0, qk1, (((1,), (1,)), ((), ())), preferred_element_type=f32
-    )  # (M, N) log2-domain scores
+    )  # (M, N) scores (log2 domain when shift2 is set)
     if has_mask:
         s = s + bias0_ref[0, 0, :][:, None] + bias1_ref[0, 0, :][None, :]
-    e = jnp.exp2(jnp.minimum(s - shift2, SHIFT_CLAMP)).astype(dt)
+    if shift2 is not None:
+        # single-exp constant-shift softmax shared by both directions
+        e = jnp.exp2(jnp.minimum(s - shift2, SHIFT_CLAMP)).astype(dt)
+        e_c = e
+    else:
+        # exact row softmax; column direction via the per-(b,h) global
+        # shift (ops/flash_cross.py::_fused_cross_kernel semantics) — one
+        # exp over the strip serves both directions
+        m_row = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m_row).astype(dt)
+        f = jnp.exp(m_row - jnp.max(m_row))  # (M, 1), <= 1
+        if has_mask:
+            f = f * (bias0_ref[0, 0, :][:, None] >= 0.0).astype(f32)
+        e_c = (e.astype(f32) * f).astype(dt)
 
     pv0 = jax.lax.dot_general(
         e, v1a, (((1,), (0,)), ((), ())), preferred_element_type=f32
     )  # (M, LANES): [msg0 | l_row | ...]
     l0 = pv0[:, _ONES_COL:_ONES_COL + 1]
     m0 = (pv0 / jnp.maximum(l0, 1e-30))[:, : wo_ref.shape[1]]
+    if has_mask and shift2 is None:
+        # all keys of image1 masked => uniform weights; reference zeroes
+        # these messages (nan_to_num parity, lightglue.py:133-135)
+        m0 = jnp.where(jnp.max(bias1_ref[0, 0, :]) >= 0.0, m0, 0.0)
     y0 = jax.lax.dot_general(
         m0.astype(dt), wo_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     )  # (M, D)
 
     pv1 = jax.lax.dot_general(
-        e, v0a, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )  # (N, LANES) = e^T @ v0a
+        e_c, v0a, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (N, LANES) = e_c^T @ v0a
     l1 = pv1[:, _ONES_COL:_ONES_COL + 1]
     m1 = (pv1 / jnp.maximum(l1, 1e-30))[:, : wo_ref.shape[1]]
+    if has_mask and shift2 is None:
+        m1 = jnp.where(jnp.max(bias0_ref[0, 0, :]) >= 0.0, m1, 0.0)
     y1 = jax.lax.dot_general(
         m1.astype(dt), wo_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
@@ -169,7 +188,7 @@ def fused_cross_block(
     num_heads: int,
     mask0: Optional[jnp.ndarray] = None,
     mask1: Optional[jnp.ndarray] = None,
-    shift: float = 0.0,
+    shift: Optional[float] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run a whole CrossBlock (reference lightglue.py:201-230) in one kernel.
@@ -177,8 +196,11 @@ def fused_cross_block(
     p: cross_attn params {"to_qk": {w (D,D), b}, "to_v": {w (D,D), b},
     "to_out": {w (D,D), b}, "ffn": {...}} (models/lightglue.py::
     _cross_block_init). x0: (B, M, D); x1: (B, N, D); mask0/1: (B, M)/(B, N)
-    bool validity. ``shift``: constant softmax shift in nats (required — the
-    single-exp bidirectional trick needs it; see _single_pass_cross_kernel).
+    bool validity. ``shift``: constant softmax shift in nats — single exp2
+    serves both directions. ``shift=None``: exact per-row max softmax for
+    the row direction, per-(b,h) global shift for the column direction
+    (ops/flash_cross.py numerics note) — still one exp over the strip plus
+    one correction multiply.
     Returns the block outputs for both images, (B, M, D) and (B, N, D).
     """
     b, m, d = x0.shape
@@ -188,9 +210,9 @@ def fused_cross_block(
     dt = x0.dtype
     has_mask = mask0 is not None or mask1 is not None
 
-    # fold sqrt(scale * LOG2E) into the SHARED qk projection: the similarity
-    # is bilinear in (qk0, qk1), so each side carries the square root
-    root = (hd**-0.5 * LOG2E) ** 0.5
+    # fold sqrt(scale [* LOG2E]) into the SHARED qk projection: the
+    # similarity is bilinear in (qk0, qk1), so each side carries the root
+    root = (hd**-0.5 * (LOG2E if shift is not None else 1.0)) ** 0.5
     wqk = (p["to_qk"]["w"] * root).reshape(d, num_heads, hd)
     wqk = wqk.transpose(1, 0, 2).astype(dt)
     bqk = (p["to_qk"]["b"] * root).reshape(num_heads, 1, hd).astype(
@@ -232,7 +254,9 @@ def fused_cross_block(
     )
     kernel = functools.partial(
         _kernel,
-        num_heads=num_heads, shift2=shift * LOG2E, has_mask=has_mask,
+        num_heads=num_heads,
+        shift2=None if shift is None else shift * LOG2E,
+        has_mask=has_mask,
         eps=1e-5,
     )
     return pl.pallas_call(

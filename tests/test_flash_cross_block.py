@@ -79,3 +79,33 @@ def test_fused_cross_block_shift_nonzero():
     )
     np.testing.assert_allclose(np.asarray(g0), np.asarray(r0), atol=5e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(r1), atol=5e-5)
+
+
+def test_fused_cross_block_exact_no_shift():
+    """shift=None: exact row softmax; column direction global-shift (same
+    numerics class as ops/flash_cross.py's exact kernel)."""
+    p, x0, x1 = _setup(4, m=256, n=128)
+    conf = lt.lightglue_config("superpoint", flash=False, fused_ffn=False)
+    r0, r1 = _ref(p, x0, x1, conf)
+    g0, g1 = flash_cross_block.fused_cross_block(
+        p, x0, x1, conf.num_heads, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(r0), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1), atol=5e-5)
+
+
+def test_fused_cross_block_exact_masked():
+    p, x0, x1 = _setup(5)
+    valid0 = jnp.asarray(np.arange(128)[None] < 110)
+    valid1 = jnp.asarray(np.arange(128)[None] < 70)
+    conf = lt.lightglue_config("superpoint", flash=False, fused_ffn=False)
+    r0, r1 = _ref(p, x0, x1, conf, valid0, valid1)
+    g0, g1 = flash_cross_block.fused_cross_block(
+        p, x0, x1, conf.num_heads, valid0, valid1, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(g0)[:, :110], np.asarray(r0)[:, :110], atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1)[:, :70], np.asarray(r1)[:, :70], atol=5e-5
+    )
