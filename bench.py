@@ -175,6 +175,20 @@ def _end_to_end_pairs_per_sec(extractor="superpoint", batch=8, reps=4,
         sconf = DISKConfig(max_num_keypoints=k, mp=True)
         sparams = dk.init_params(jax.random.key(1), sconf)
         efwd, feats = dk.forward, "disk"
+    elif extractor == "sift":
+        from lightglue_tpu.configs import SIFTConfig
+        from lightglue_tpu.models import sift_jax
+
+        sconf = SIFTConfig(max_num_keypoints=k, backend="jax")
+        sparams = None
+        efwd, feats = sift_jax.forward, "sift"
+    elif extractor == "doghardnet":
+        from lightglue_tpu.configs import SIFTConfig
+        from lightglue_tpu.models import hardnet
+
+        sconf = SIFTConfig(max_num_keypoints=k, backend="jax")
+        sparams = hardnet.init_params(jax.random.key(1))
+        efwd, feats = hardnet.forward, "doghardnet"
     else:
         raise ValueError(extractor)
 
@@ -196,6 +210,8 @@ def _end_to_end_pairs_per_sec(extractor="superpoint", batch=8, reps=4,
         @jax.jit
         def chained(img0, img1, size):
             def body(carry, _):
+                from lightglue_tpu.end_to_end import _scale_ori_kw
+
                 f0 = efwd(sparams, sconf, img0 + carry * 1e-20, size)
                 f1 = efwd(sparams, sconf, img1, size)
                 out = lg.forward(
@@ -204,6 +220,7 @@ def _end_to_end_pairs_per_sec(extractor="superpoint", batch=8, reps=4,
                     desc0=f0.descriptors, desc1=f1.descriptors,
                     size0=size, size1=size,
                     mask0=f0.valid, mask1=f1.valid,
+                    **_scale_ori_kw(f0, f1),
                 )
                 return carry + out.matching_scores0.sum() * 1e-20, out.stop
 
@@ -518,11 +535,16 @@ def main(M=1024, BATCH=None, REPS=8):
             ), 1,
         )
     if not tiny:
-        for ex in ("superpoint", "aliked", "disk"):
-            key = f"end-to-end {ex}(bf16) x2 + match B8"
+        for ex, eb in (
+            ("superpoint", 8), ("aliked", 8), ("disk", 8),
+            ("sift", 2), ("doghardnet", 2),  # SIFT scale space is heavy
+        ):
+            tag = "bf16" if ex in ("superpoint", "aliked", "disk") else "fp32"
+            key = f"end-to-end {ex}({tag}) x2 + match B{eb}"
             try:
                 detail[key] = round(
-                    _end_to_end_pairs_per_sec(ex, trained=trained), 1
+                    _end_to_end_pairs_per_sec(ex, batch=eb, trained=trained,
+                                              reps=2 if eb == 2 else 4), 1
                 )
             except Exception as e:  # informational; never kill bench
                 detail[key] = f"FAIL {e}"[:200]

@@ -197,7 +197,6 @@ def fused_self_block(
     """
     b, n, d = x.shape
     hd = d // num_heads
-    hh = hd // 2
     dt = x.dtype
     if block_q is None:
         # one query block per (b, h) when the fp32 strip fits VMEM (~4 MB):
