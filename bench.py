@@ -243,10 +243,13 @@ def _end_to_end_pairs_per_sec(extractor="superpoint", batch=8, reps=4,
     return batch * 2 * reps / max(t3 - t1, 1e-9)
 
 
-def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None):
-    """Extract-once sequence pipeline: B images -> B-1 consecutive pairs
-    per program iteration (end_to_end.make_sequence_end_to_end semantics;
-    the hloc/video regime where each image is extracted exactly once)."""
+def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None,
+                            window=1):
+    """Extract-once sequence pipeline: B images -> windowed consecutive
+    pairs per program iteration (end_to_end.make_sequence_end_to_end /
+    make_windowed_sequence_end_to_end semantics; the hloc/video regime
+    where each image is extracted exactly once and, at window > 1, matched
+    against the ``window`` previous images — hloc sequential pairing)."""
     import jax
     import jax.numpy as jnp
 
@@ -283,6 +286,11 @@ def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None):
         ]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
+    from lightglue_tpu.end_to_end import sequence_window_pairs
+
+    i0, i1 = sequence_window_pairs(batch, window)
+    n_pairs = len(i0)
+
     def make(r):
         @jax.jit
         def chained(images, sizes):
@@ -290,10 +298,10 @@ def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None):
                 f = extract_chunked(images + carry * 1e-20, sizes)
                 out = lg.forward(
                     mparams, mconf,
-                    kpts0=f.keypoints[:-1], kpts1=f.keypoints[1:],
-                    desc0=f.descriptors[:-1], desc1=f.descriptors[1:],
-                    size0=sizes[:-1], size1=sizes[1:],
-                    mask0=f.valid[:-1], mask1=f.valid[1:],
+                    kpts0=f.keypoints[i0], kpts1=f.keypoints[i1],
+                    desc0=f.descriptors[i0], desc1=f.descriptors[i1],
+                    size0=sizes[i0], size1=sizes[i1],
+                    mask0=f.valid[i0], mask1=f.valid[i1],
                 )
                 return carry + out.matching_scores0.sum() * 1e-20, out.stop
 
@@ -313,7 +321,7 @@ def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None):
 
     t1 = best_of(make(reps))
     t3 = best_of(make(3 * reps))
-    return (batch - 1) * 2 * reps / max(t3 - t1, 1e-9)
+    return n_pairs * 2 * reps / max(t3 - t1, 1e-9)
 
 
 def _kernel_agreement(m=512, n=512, b=2, seed=0):
@@ -548,14 +556,17 @@ def main(M=1024, BATCH=None, REPS=8):
                 )
             except Exception as e:  # informational; never kill bench
                 detail[key] = f"FAIL {e}"[:200]
-        try:
-            detail["sequence e2e superpoint (extract-once, B16 imgs)"] = (
-                round(_sequence_pairs_per_sec(trained=trained), 1)
-            )
-        except Exception as e:
-            detail["sequence e2e superpoint (extract-once, B16 imgs)"] = (
-                f"FAIL {e}"[:200]
-            )
+        for win, key in (
+            (1, "sequence e2e superpoint (extract-once, B16 imgs)"),
+            (4, "sequence e2e superpoint (extract-once, B16 imgs, window 4 "
+                "— hloc sequential pairing)"),
+        ):
+            try:
+                detail[key] = round(
+                    _sequence_pairs_per_sec(trained=trained, window=win), 1
+                )
+            except Exception as e:
+                detail[key] = f"FAIL {e}"[:200]
         try:
             ka = _kernel_agreement()
             (REPO / "benchmarks").mkdir(exist_ok=True)

@@ -110,3 +110,53 @@ def make_sequence_end_to_end(
         return E2EOutput(sl0, sl1, out)
 
     return run
+
+
+def sequence_window_pairs(n_images: int, window: int):
+    """Static pair index arrays (i0, i1) for windowed sequential matching:
+    every (i, i+w) with 1 <= w <= window — the hloc ``pairs_from_sequential``
+    overlap pattern. Returns two int arrays of length
+    ``window*n - window*(window+1)/2``."""
+    i0, i1 = [], []
+    for w in range(1, window + 1):
+        i0.extend(range(n_images - w))
+        i1.extend(range(w, n_images))
+    return np.asarray(i0, np.int32), np.asarray(i1, np.int32)
+
+
+def make_windowed_sequence_end_to_end(
+    extractor_forward: Callable,
+    extractor_params: nn.Params,
+    extractor_conf,
+    matcher_params: nn.Params,
+    matcher_conf,
+    window: int = 4,
+):
+    """Extract-once / match-windowed pipeline: ONE jit program taking
+    (images (B, H, W, C), sizes (B, 2)) and matching every pair (i, i+w)
+    for w = 1..window.
+
+    This is the standard sequential-mapping regime (hloc's sequential
+    pairing with overlap windows, video SfM): each image is extracted
+    exactly once and participates in up to 2*window pairs, so extraction
+    cost amortizes ~window x per pair while matching stays one batched
+    matcher call. Window 1 degenerates to ``make_sequence_end_to_end``.
+    """
+
+    @jax.jit
+    def run(images, sizes):
+        f = extractor_forward(extractor_params, extractor_conf, images, sizes)
+        i0, i1 = sequence_window_pairs(images.shape[0], window)
+        sl0 = jax.tree.map(lambda a: a[i0], f)
+        sl1 = jax.tree.map(lambda a: a[i1], f)
+        out = lg.forward(
+            matcher_params, matcher_conf,
+            kpts0=sl0.keypoints, kpts1=sl1.keypoints,
+            desc0=sl0.descriptors, desc1=sl1.descriptors,
+            size0=sizes[i0], size1=sizes[i1],
+            mask0=sl0.valid, mask1=sl1.valid,
+            **_scale_ori_kw(sl0, sl1),
+        )
+        return E2EOutput(sl0, sl1, out)
+
+    return run

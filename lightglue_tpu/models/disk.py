@@ -199,9 +199,14 @@ def heatmap_to_keypoints(
     """
     b, h, w = heatmap.shape
     win = conf.nms_window_size
+    # separable window max: rows pass then cols pass is exact for max and
+    # avoids the O(win^2) 2-D reduce_window (same rewrite measured on
+    # SuperPoint's simple_nms, ops/sampling.py:82)
     local_max = jax.lax.reduce_window(
-        heatmap, -jnp.inf, jax.lax.max,
-        (1, win, win), (1, 1, 1), "SAME",
+        heatmap, -jnp.inf, jax.lax.max, (1, 1, win), (1, 1, 1), "SAME",
+    )
+    local_max = jax.lax.reduce_window(
+        local_max, -jnp.inf, jax.lax.max, (1, win, 1), (1, 1, 1), "SAME",
     )
     is_max = heatmap == local_max
     scores = jnp.where(is_max, heatmap, -jnp.inf)

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--w", type=int, default=1024)
     ap.add_argument("--k", type=int, default=1024)
     ap.add_argument("--approx", type=float, default=0.95)
+    ap.add_argument("--perconv", action="store_true",
+                    help="per-conv progressive encoder breakdown")
     args = ap.parse_args()
 
     import jax
@@ -139,6 +141,32 @@ def main():
 
         t3 = best3()
         return (t3 - t1) / (2 * reps) / args.batch * 1000  # ms per image
+
+    if args.perconv:
+        # progressive prefixes of the encoder: delta between consecutive
+        # rows = marginal cost of that conv IN COMPOSITION
+        plan = [
+            ("conv1a", False), ("conv1b", False), ("pool1", True),
+            ("conv2a", False), ("conv2b", False), ("pool2", True),
+            ("conv3a", False), ("conv3b", False), ("pool3", True),
+            ("conv4a", False), ("conv4b", False),
+        ]
+
+        def make_prefix(n_steps):
+            def fn(image):
+                x = image.astype(jnp.bfloat16) if conf.mp else image
+                for name, is_pool in plan[:n_steps]:
+                    if is_pool:
+                        x = nn.max_pool(x, 2)
+                    else:
+                        x = jax.nn.relu(nn.conv2d(params[name], x))
+                return x.astype(jnp.float32).sum()
+
+            return fn
+
+        levels = [
+            (plan[n - 1][0], make_prefix(n)) for n in range(1, len(plan) + 1)
+        ]
 
     prev = 0.0
     print(f"B={args.batch} {args.h}x{args.w} mp={conf.mp} "

@@ -45,6 +45,45 @@ def test_sequence_e2e_consecutive_pairs():
     )
 
 
+def test_windowed_sequence_e2e_pairs():
+    """Windowed sequence pipeline (hloc sequential pairing): every (i, i+w)
+    pair's matches equal the independent pairwise program exactly."""
+    from lightglue_tpu.end_to_end import (
+        make_windowed_sequence_end_to_end, sequence_window_pairs,
+    )
+
+    sp_conf = SuperPointConfig(max_num_keypoints=64)
+    sp_params = sp.init_params(jax.random.key(0), sp_conf)
+    lg_conf = lightglue_config(
+        "superpoint", depth_confidence=-1.0, width_confidence=-1.0,
+        filter_threshold=0.0,
+    )
+    lg_params = lg.init_params(jax.random.key(1), lg_conf)
+    win = make_windowed_sequence_end_to_end(
+        sp.forward, sp_params, sp_conf, lg_params, lg_conf, window=2
+    )
+    pair = make_end_to_end(sp.forward, sp_params, sp_conf, lg_params, lg_conf)
+
+    rng = np.random.default_rng(0)
+    b, h, w = 4, 64, 80
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32))
+    sizes = jnp.asarray(np.tile([[float(w), float(h)]], (b, 1)))
+    out = win(imgs, sizes)
+    i0, i1 = sequence_window_pairs(b, 2)
+    assert out.matches.matches0.shape == (len(i0), 64)
+    np.testing.assert_array_equal(i0, [0, 1, 2, 0, 1])
+    np.testing.assert_array_equal(i1, [1, 2, 3, 2, 3])
+    for p, (a, c) in enumerate(zip(i0, i1)):
+        ref = pair(
+            imgs[a : a + 1], imgs[c : c + 1],
+            sizes[a : a + 1], sizes[c : c + 1],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.matches.matches0[p]),
+            np.asarray(ref.matches.matches0[0]),
+        )
+
+
 def test_e2e_superpoint_match():
     sp_conf = SuperPointConfig(max_num_keypoints=128)
     sp_params = sp.init_params(jax.random.key(0), sp_conf)
