@@ -84,6 +84,50 @@ def test_windowed_sequence_e2e_pairs():
         )
 
 
+def test_windowed_sequence_e2e_sharded_over_mesh():
+    """Full extract+match pipeline with images SHARDED over an 8-device
+    data-parallel mesh: the windowed pairing gathers features across shard
+    boundaries (XLA inserts the collectives), and results equal the
+    unsharded program exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lightglue_tpu.end_to_end import make_windowed_sequence_end_to_end
+    from lightglue_tpu.parallel import mesh as mesh_lib
+
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+
+    sp_conf = SuperPointConfig(max_num_keypoints=32)
+    sp_params = sp.init_params(jax.random.key(0), sp_conf)
+    lg_conf = lightglue_config(
+        "superpoint", depth_confidence=-1.0, width_confidence=-1.0,
+        filter_threshold=0.0,
+    )
+    lg_params = lg.init_params(jax.random.key(1), lg_conf)
+    run = make_windowed_sequence_end_to_end(
+        sp.forward, sp_params, sp_conf, lg_params, lg_conf, window=2
+    )
+
+    rng = np.random.default_rng(0)
+    b, h, w = 8, 48, 64
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32))
+    sizes = jnp.asarray(np.tile([[float(w), float(h)]], (b, 1)))
+    ref = run(imgs, sizes)
+
+    mesh = mesh_lib.make_mesh(8)
+    data = NamedSharding(mesh, P("data"))
+    imgs_s = jax.device_put(imgs, data)
+    sizes_s = jax.device_put(sizes, data)
+    with mesh:
+        out = run(imgs_s, sizes_s)
+    np.testing.assert_array_equal(
+        np.asarray(out.matches.matches0), np.asarray(ref.matches.matches0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.matches.matching_scores0),
+        np.asarray(ref.matches.matching_scores0), atol=1e-5,
+    )
+
+
 def test_e2e_superpoint_match():
     sp_conf = SuperPointConfig(max_num_keypoints=128)
     sp_params = sp.init_params(jax.random.key(0), sp_conf)
