@@ -146,6 +146,48 @@ def _pick_headline_config():
     return best if best is not None else (1, 256, None)
 
 
+def _extractor_setup(extractor, k):
+    """(sconf, sparams, forward, feature_preset) for a bench extractor."""
+    import jax
+
+    from lightglue_tpu.configs import (
+        ALIKEDConfig, DISKConfig, SuperPointConfig,
+    )
+
+    if extractor == "superpoint":
+        from lightglue_tpu.models import superpoint as sp
+
+        sconf = SuperPointConfig(max_num_keypoints=k, mp=True, approx_topk=0.95)
+        return sconf, sp.init_params(jax.random.key(1), sconf), sp.forward, \
+            "superpoint"
+    if extractor == "aliked":
+        from lightglue_tpu.models import aliked as al
+
+        sconf = ALIKEDConfig(max_num_keypoints=k, mp=True)
+        return sconf, al.init_params(jax.random.key(1), sconf), al.forward, \
+            "aliked"
+    if extractor == "disk":
+        from lightglue_tpu.models import disk as dk
+
+        sconf = DISKConfig(max_num_keypoints=k, mp=True)
+        return sconf, dk.init_params(jax.random.key(1), sconf), dk.forward, \
+            "disk"
+    if extractor == "sift":
+        from lightglue_tpu.configs import SIFTConfig
+        from lightglue_tpu.models import sift_jax
+
+        sconf = SIFTConfig(max_num_keypoints=k, backend="jax")
+        return sconf, None, sift_jax.forward, "sift"
+    if extractor == "doghardnet":
+        from lightglue_tpu.configs import SIFTConfig
+        from lightglue_tpu.models import hardnet
+
+        sconf = SIFTConfig(max_num_keypoints=k, backend="jax")
+        return sconf, hardnet.init_params(jax.random.key(1)), \
+            hardnet.forward, "doghardnet"
+    raise ValueError(extractor)
+
+
 def _end_to_end_pairs_per_sec(extractor="superpoint", batch=8, reps=4,
                               tries=3, trained=None):
     """Single-program extract x2 + match throughput (one dispatch per
@@ -154,43 +196,11 @@ def _end_to_end_pairs_per_sec(extractor="superpoint", batch=8, reps=4,
     import jax
     import jax.numpy as jnp
 
-    from lightglue_tpu.configs import (
-        ALIKEDConfig, DISKConfig, SuperPointConfig, lightglue_config,
-    )
-    from lightglue_tpu.models import aliked as al
-    from lightglue_tpu.models import disk as dk
+    from lightglue_tpu.configs import lightglue_config
     from lightglue_tpu.models import lightglue as lg
-    from lightglue_tpu.models import superpoint as sp
 
     h, w, k = 768, 1024, 1024
-    if extractor == "superpoint":
-        sconf = SuperPointConfig(max_num_keypoints=k, mp=True, approx_topk=0.95)
-        sparams = sp.init_params(jax.random.key(1), sconf)
-        efwd, feats = sp.forward, "superpoint"
-    elif extractor == "aliked":
-        sconf = ALIKEDConfig(max_num_keypoints=k, mp=True)
-        sparams = al.init_params(jax.random.key(1), sconf)
-        efwd, feats = al.forward, "aliked"
-    elif extractor == "disk":
-        sconf = DISKConfig(max_num_keypoints=k, mp=True)
-        sparams = dk.init_params(jax.random.key(1), sconf)
-        efwd, feats = dk.forward, "disk"
-    elif extractor == "sift":
-        from lightglue_tpu.configs import SIFTConfig
-        from lightglue_tpu.models import sift_jax
-
-        sconf = SIFTConfig(max_num_keypoints=k, backend="jax")
-        sparams = None
-        efwd, feats = sift_jax.forward, "sift"
-    elif extractor == "doghardnet":
-        from lightglue_tpu.configs import SIFTConfig
-        from lightglue_tpu.models import hardnet
-
-        sconf = SIFTConfig(max_num_keypoints=k, backend="jax")
-        sparams = hardnet.init_params(jax.random.key(1))
-        efwd, feats = hardnet.forward, "doghardnet"
-    else:
-        raise ValueError(extractor)
+    sconf, sparams, efwd, feats = _extractor_setup(extractor, k)
 
     prefix, bucket, _ = _pick_headline_config()
     mconf = lightglue_config(
@@ -244,7 +254,7 @@ def _end_to_end_pairs_per_sec(extractor="superpoint", batch=8, reps=4,
 
 
 def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None,
-                            window=1):
+                            window=1, extractor="superpoint"):
     """Extract-once sequence pipeline: B images -> windowed consecutive
     pairs per program iteration (end_to_end.make_sequence_end_to_end /
     make_windowed_sequence_end_to_end semantics; the hloc/video regime
@@ -253,22 +263,21 @@ def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None,
     import jax
     import jax.numpy as jnp
 
-    from lightglue_tpu.configs import SuperPointConfig, lightglue_config
+    from lightglue_tpu.configs import lightglue_config
     from lightglue_tpu.models import lightglue as lg
-    from lightglue_tpu.models import superpoint as sp
 
     h, w, k = 768, 1024, 1024
-    sconf = SuperPointConfig(max_num_keypoints=k, mp=True, approx_topk=0.95)
-    sparams = sp.init_params(jax.random.key(1), sconf)
+    sconf, sparams, efwd, feats = _extractor_setup(extractor, k)
     # exact reference adaptive semantics (same config as the headline);
     # with trained weights the depth early-exit beats compaction outright
     mconf = lightglue_config(
-        "superpoint", mp=True,
+        feats, mp=True,
         cross_softmax_shift=12.0, self_softmax_shift=12.0,
     )
-    mparams = trained if trained is not None else lg.init_params(
-        jax.random.key(0), mconf
-    )
+    if trained is not None and feats == "superpoint":
+        mparams = trained
+    else:
+        mparams = lg.init_params(jax.random.key(0), mconf)
     rng = np.random.default_rng(3)
     imgs = jnp.asarray(rng.uniform(0, 1, (batch, h, w, 1)).astype(np.float32))
     sizes = jnp.asarray(np.tile([[float(w), float(h)]], (batch, 1)))
@@ -277,11 +286,9 @@ def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None,
         """Extraction batched at B=8: measured optimum on v5e (2.55
         ms/img; B16 regresses to 3.44 — XLA picks a worse layout)."""
         if images.shape[0] <= chunk:
-            return sp.forward(sparams, sconf, images, sizes)
+            return efwd(sparams, sconf, images, sizes)
         outs = [
-            sp.forward(
-                sparams, sconf, images[i : i + chunk], sizes[i : i + chunk]
-            )
+            efwd(sparams, sconf, images[i : i + chunk], sizes[i : i + chunk])
             for i in range(0, images.shape[0], chunk)
         ]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
@@ -296,12 +303,18 @@ def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None,
         def chained(images, sizes):
             def body(carry, _):
                 f = extract_chunked(images + carry * 1e-20, sizes)
+                so = (
+                    dict(scales0=f.scales[i0], oris0=f.oris[i0],
+                         scales1=f.scales[i1], oris1=f.oris[i1])
+                    if getattr(f, "scales", None) is not None else {}
+                )
                 out = lg.forward(
                     mparams, mconf,
                     kpts0=f.keypoints[i0], kpts1=f.keypoints[i1],
                     desc0=f.descriptors[i0], desc1=f.descriptors[i1],
                     size0=sizes[i0], size1=sizes[i1],
                     mask0=f.valid[i0], mask1=f.valid[i1],
+                    **so,
                 )
                 return carry + out.matching_scores0.sum() * 1e-20, out.stop
 
@@ -556,14 +569,20 @@ def main(M=1024, BATCH=None, REPS=8):
                 )
             except Exception as e:  # informational; never kill bench
                 detail[key] = f"FAIL {e}"[:200]
-        for win, key in (
-            (1, "sequence e2e superpoint (extract-once, B16 imgs)"),
-            (4, "sequence e2e superpoint (extract-once, B16 imgs, window 4 "
-                "— hloc sequential pairing)"),
+        for ex, win, key in (
+            ("superpoint", 1, "sequence e2e superpoint (extract-once, "
+                              "B16 imgs)"),
+            ("superpoint", 4, "sequence e2e superpoint (extract-once, B16 "
+                              "imgs, window 4 — hloc sequential pairing)"),
+            ("disk", 4, "sequence e2e disk (extract-once, B16 imgs, "
+                        "window 4)"),
+            ("aliked", 4, "sequence e2e aliked (extract-once, B16 imgs, "
+                          "window 4)"),
         ):
             try:
                 detail[key] = round(
-                    _sequence_pairs_per_sec(trained=trained, window=win), 1
+                    _sequence_pairs_per_sec(trained=trained, window=win,
+                                            extractor=ex), 1
                 )
             except Exception as e:
                 detail[key] = f"FAIL {e}"[:200]
