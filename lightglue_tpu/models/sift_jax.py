@@ -306,24 +306,35 @@ def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
 
 
 def _gradients(g: jnp.ndarray):
-    """Central-difference gradient magnitude/orientation of (H, W)."""
+    """Central-difference gradient components (dx, dy) of (H, W).
+
+    Magnitude/orientation are NOT computed here: the dense sqrt + arctan2
+    over every pyramid pixel (~25M at 1024x768 with the doubled first
+    octave) is deferred to _mag_ori on the GATHERED samples only
+    (~1.5M) — gathers commute with elementwise ops, so results are
+    bit-identical while the VPU transcendental work drops ~20x."""
     dx = jnp.zeros_like(g).at[:, 1:-1].set((g[:, 2:] - g[:, :-2]) * 0.5)
     dy = jnp.zeros_like(g).at[1:-1, :].set((g[2:, :] - g[:-2, :]) * 0.5)
-    mag = jnp.sqrt(dx * dx + dy * dy)
-    ori = jnp.arctan2(dy, dx)  # [-pi, pi]
-    return mag, ori
+    return dx, dy
+
+
+def _mag_ori(dx: jnp.ndarray, dy: jnp.ndarray):
+    """Gradient magnitude / orientation [-pi, pi] from components.
+    arctan2(0, 0) == 0, so zeroed borders keep mag = ori = 0 exactly as
+    the dense formulation did."""
+    return jnp.sqrt(dx * dx + dy * dy), jnp.arctan2(dy, dx)
 
 
 def _orientation_hist(
-    mags: jnp.ndarray, oris: jnp.ndarray, li, fy, fx, sigma_rel,
+    dxs: jnp.ndarray, dys: jnp.ndarray, li, fy, fx, sigma_rel,
     max_radius: int = 16,
 ):
     """36-bin orientation histogram per keypoint; returns (N, 36) smoothed.
 
-    mags/oris: (L, H, W) stacked per-layer gradients; ``li`` selects each
-    keypoint's layer. Samples a fixed (2R+1)^2 window (masked by per-point
-    radius), OpenCV calcOrientationHist semantics."""
-    l, h, w = mags.shape
+    dxs/dys: (L, H, W) stacked per-layer gradient components; ``li``
+    selects each keypoint's layer. Samples a fixed (2R+1)^2 window (masked
+    by per-point radius), OpenCV calcOrientationHist semantics."""
+    l, h, w = dxs.shape
     n = fy.shape[0]
     r = max_radius
     dyy = jnp.repeat(jnp.arange(-r, r + 1), 2 * r + 1)[None, :]
@@ -341,7 +352,7 @@ def _orientation_hist(
     # by `inside` anyway.
     side = 2 * r + 1
     pad = jnp.pad(
-        jnp.stack([mags, oris]), ((0, 0), (0, 0), (r, r), (r, r))
+        jnp.stack([dxs, dys]), ((0, 0), (0, 0), (r, r), (r, r))
     )  # (2, L, H+2r, W+2r)
 
     def rows(li_, cy_, cx_):
@@ -351,8 +362,9 @@ def _orientation_hist(
         )[:, 0]
 
     win = jax.vmap(rows)(li, cy[:, 0], cx[:, 0])  # (N, 2, side, side)
-    m = win[:, 0].reshape(n, side * side)
-    o = win[:, 1].reshape(n, side * side)
+    m, o = _mag_ori(
+        win[:, 0].reshape(n, side * side), win[:, 1].reshape(n, side * side)
+    )
     radius = jnp.round(ORI_RADIUS_FCTR * sigma_rel).astype(jnp.int32)[:, None]
     sig = (ORI_SIG_FCTR * sigma_rel)[:, None]
     dist2 = (dyy**2 + dxx**2).astype(jnp.float32)
@@ -404,14 +416,14 @@ def _hist_peaks(hist: jnp.ndarray):
 
 
 def _descriptors(
-    mags: jnp.ndarray, oris_map: jnp.ndarray, li, fy, fx, sigma_rel, angles
+    dxs: jnp.ndarray, dys: jnp.ndarray, li, fy, fx, sigma_rel, angles
 ) -> jnp.ndarray:
     """4x4x8 SIFT descriptors at given positions/orientations. Vectorized:
     16x16 rotated sample grid per keypoint, trilinear accumulation.
-    mags/oris_map: (L, H, W) stacked per-layer gradients with ``li``
+    dxs/dys: (L, H, W) stacked per-layer gradient components with ``li``
     selecting each keypoint's layer. Returns (N, 128) in OpenCV's 512-scaled
     convention (pre-normalization for RootSIFT happens downstream)."""
-    l, h, w = mags.shape
+    l, h, w = dxs.shape
     d, nb = DESC_WIDTH, DESC_BINS
     hist_width = DESC_SCL_FCTR * sigma_rel  # (N,)
     n = fy.shape[0]
@@ -434,12 +446,12 @@ def _descriptors(
     xi = jnp.clip(jnp.round(sx), 1, w - 2).astype(jnp.int32)
     yi = jnp.clip(jnp.round(sy), 1, h - 2).astype(jnp.int32)
     idx = (li[:, None] * h + yi) * w + xi
-    # one 2-wide row gather for (mag, ori) instead of two scalar takes —
-    # gather cost is per element/row, and both maps use identical indices
-    mo = jnp.stack([mags, oris_map], -1).reshape(l * h * w, 2)
+    # one 2-wide row gather for (dx, dy) instead of two scalar takes —
+    # gather cost is per element/row, and both maps use identical indices;
+    # mag/ori are computed on the gathered samples only (see _gradients)
+    mo = jnp.stack([dxs, dys], -1).reshape(l * h * w, 2)
     mov = jnp.take(mo, idx.reshape(-1), axis=0).reshape(*idx.shape, 2)
-    m = mov[..., 0]
-    o = mov[..., 1]
+    m, o = _mag_ori(mov[..., 0], mov[..., 1])
     # gaussian weight over the window
     wgt = jnp.exp(-(u[None] ** 2 + v[None] ** 2) / (0.5 * d) ** 2 / 2)
     m = jnp.where(inside, m * wgt, 0.0)
@@ -544,11 +556,11 @@ def extract_single(
         # for the whole stacked octave and gathered with a 3D index
         lg_idx = jnp.clip(jnp.round(fl).astype(jnp.int32), 0, s + 2)
         gauss_layers = jnp.stack(gaussians[o])  # (s+3, H, W)
-        mags, oris_map = jax.lax.optimization_barrier(
+        dxs, dys = jax.lax.optimization_barrier(
             jax.vmap(_gradients)(gauss_layers)
         )
 
-        hist = _orientation_hist(mags, oris_map, lg_idx, fy, fx, sigma_rel)
+        hist = _orientation_hist(dxs, dys, lg_idx, fy, fx, sigma_rel)
         angles, aok = jax.lax.optimization_barrier(_hist_peaks(hist))
 
         # fold the orientation axis into the keypoint axis, then COMPACT
@@ -572,7 +584,7 @@ def extract_single(
                 {key: a[keep_i] for key, a in inst.items()}
             )
         descs = _descriptors(
-            mags, oris_map, inst["li"], inst["fy"], inst["fx"], inst["sig"],
+            dxs, dys, inst["li"], inst["fy"], inst["fx"], inst["sig"],
             inst["ang"],
         )
 
