@@ -621,13 +621,21 @@ def extract_single(
 
 
 def extract_batch(images: jnp.ndarray, conf: SIFTConfig):
-    """Batched TPU SIFT: vmap of ``extract_single`` over (B, H, W) images.
+    """Batched TPU SIFT over (B, H, W) images: ``lax.map`` of
+    ``extract_single`` — one device program extracts the full batch (the
+    reference's SIFT loops per image on the host, sift.py:205-212).
 
-    Every stage is static-shape, so the whole DoG pipeline vmaps cleanly —
-    one device program extracts the full batch (the reference's SIFT loops
-    per image on the host, sift.py:205-212).
-    """
-    return jax.vmap(lambda im: extract_single(im, conf))(images)
+    ``lax.map`` rather than ``vmap``: each image's work is already
+    wide enough to fill the chip, and under vmap the exactness ``lax.cond``
+    in ops/topk.py::topk2d must bypass to the monolithic ``top_k`` over the
+    ~19M-element doubled octave (~40 ms/image, see _extrema_candidates) —
+    sequential per-image iterations keep every image on the fast
+    single-image graph while still compiling once."""
+    if images.shape[0] == 1:  # no loop machinery for the common B=1
+        return jax.tree.map(
+            lambda a: a[None], extract_single(images[0], conf)
+        )
+    return jax.lax.map(lambda im: extract_single(im, conf), images)
 
 
 def rootsift(desc: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
