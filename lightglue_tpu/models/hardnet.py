@@ -79,7 +79,27 @@ def extract_laf_patches(
     Patch sample grid: x(u,v) = c + (scale/2) * R(ori) @ (u, v) for
     u, v in linspace(-1, 1, ps). Returns (K, ps, ps, 1).
     """
-    h, w = image.shape
+    return extract_laf_patches_batch(
+        image[None], centers[None], scales[None], oris[None], patch_size
+    )[0]
+
+
+def extract_laf_patches_batch(
+    images: jnp.ndarray,
+    centers: jnp.ndarray,
+    scales: jnp.ndarray,
+    oris: jnp.ndarray,
+    patch_size: int = 32,
+) -> jnp.ndarray:
+    """Batched ``extract_laf_patches``: images (B, H, W), centers (B, K, 2),
+    scales/oris (B, K) -> (B, K, ps, ps, 1).
+
+    The batch axis is folded into the gather's FLAT row index (one shared
+    (B*H*W, 4) quad table + per-image offsets) instead of vmapping the
+    single-image gather: a vmapped take is a 2-coordinate XLA gather, the
+    measured catastrophic pattern on TPU (memory: tpu-op-costs), while the
+    flat 1-D row take stays on the fast path."""
+    b, h, w = images.shape
     ps = patch_size
     lin = jnp.linspace(-1.0, 1.0, ps)
     uu, vv = jnp.meshgrid(lin, lin)  # vv rows (y), uu cols (x)
@@ -88,13 +108,13 @@ def extract_laf_patches(
     cos = jnp.cos(oris)
     sin = jnp.sin(oris)
     # kornia LAF: [[s*cos, -s*sin], [s*sin, s*cos]] / 2 applied to (u, v)
-    half = scales[:, None, None] / 2.0
+    half = scales[..., None, None] / 2.0
     rot = jnp.stack(
         [jnp.stack([cos, -sin], -1), jnp.stack([sin, cos], -1)], -2
-    )  # (K, 2, 2)
-    pts = centers[:, None, :] + half * jnp.einsum(
-        "kij,pj->kpi", rot, grid
-    )  # (K, ps*ps, 2) pixel coords (x, y)
+    )  # (B, K, 2, 2)
+    pts = centers[..., None, :] + half * jnp.einsum(
+        "bkij,pj->bkpi", rot, grid
+    )  # (B, K, ps*ps, 2) pixel coords (x, y)
 
     # bilinear sample with border clamp (align_corners grid in pixels)
     fx = jnp.clip(pts[..., 0], 0.0, w - 1.0)
@@ -109,18 +129,19 @@ def extract_laf_patches(
     # each pixel's 4 bilinear corners as a 4-wide row, then ONE row gather
     # per sample replaces 4 scalar gathers — scalar-gather element count
     # was the wall (4.2M scalars = 30 ms; row gathers pay per ROW)
-    pe = jnp.pad(image, ((0, 1), (0, 1)), mode="edge")
+    pe = jnp.pad(images, ((0, 0), (0, 1), (0, 1)), mode="edge")
     quad = jnp.stack(
-        [pe[:-1, :-1], pe[:-1, 1:], pe[1:, :-1], pe[1:, 1:]], -1
-    ).reshape(h * w, 4)
-    k_, p_ = x0i.shape
+        [pe[:, :-1, :-1], pe[:, :-1, 1:], pe[:, 1:, :-1], pe[:, 1:, 1:]], -1
+    ).reshape(b * h * w, 4)
     # the +1 corner edge clamps match the 'edge' pad duplicate exactly
-    v = jnp.take(quad, (y0i * w + x0i).reshape(-1), axis=0).reshape(k_, p_, 4)
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
+    idx = base + y0i * w + x0i  # (B, K, ps*ps) flat rows
+    v = jnp.take(quad, idx.reshape(-1), axis=0).reshape(*idx.shape, 4)
     v00, v01, v10, v11 = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
     vals = (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (
         v10 * (1 - wx) + v11 * wx
     ) * wy
-    return vals.reshape(-1, ps, ps, 1)
+    return vals.reshape(b, -1, ps, ps, 1)
 
 
 def forward(params, conf, images: jnp.ndarray, sizes=None):
@@ -136,9 +157,9 @@ def forward(params, conf, images: jnp.ndarray, sizes=None):
         images = images[..., 0]
     det = sift_jax.extract_batch(images, conf)
     # LAF scale = 6 * kpt.size (reference dog_hardnet.py:35)
-    patches = jax.vmap(
-        lambda im, k, s, o: extract_laf_patches(im, k, 6.0 * s, o)
-    )(images, det["keypoints"], det["scales"], det["oris"])
+    patches = extract_laf_patches_batch(
+        images, det["keypoints"], 6.0 * det["scales"], det["oris"]
+    )
     b, k = patches.shape[:2]
     desc = describe_patches(
         params, patches.reshape(b * k, *patches.shape[2:])
