@@ -199,26 +199,23 @@ def _refine(dog_stack: jnp.ndarray, li, yi, xi, valid, conf: SIFTConfig):
     s = conf.num_scales_per_octave
     border = 5  # SIFT_IMG_BORDER
 
-    # gather the 3x3x3 neighborhood as ONE flat 27-column take per use:
-    # multi-coordinate advanced indexing (dog_stack[li, yi, xi]) lowers to
-    # a multi-dim XLA gather that costs ~35x more than a flat 1-D take
-    # when the operand is a computed value (measured 23 -> 800 ms for the
-    # refinement loop at 2048x1536); the flat form matches how the
-    # orientation/descriptor stages gather
-    dog_flat = dog_stack.reshape(-1)
-    offs = np.array(
-        [(dl, dy, dx) for dl in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dx in (-1, 0, 1)], np.int32
-    )
-    offs_l = jnp.asarray(offs[:, 0])[None, :]
-    offs_y = jnp.asarray(offs[:, 1])[None, :]
-    offs_x = jnp.asarray(offs[:, 2])[None, :]
-
+    # gather the 3x3x3 neighborhood as ONE (3,3,3) dynamic_slice per point
+    # (vmapped -> a single XLA gather with slice_sizes): slice-gathers pay
+    # per ROW while element gathers pay per ELEMENT — 27 scalar takes per
+    # point per step were the refinement loop's wall (the even-worse
+    # multi-coordinate advanced indexing form measured 800 ms at
+    # 2048x1536). Live points always sit in [1, dim-2] on every axis
+    # (extrema layers 1..L-2, border >= 5, and the loop re-clips), so the
+    # slice never clamps for them and values are identical; dead/padded
+    # slots may clamp differently but are masked out.
     def cube():
-        lc = jnp.clip(li[:, None] + offs_l, 0, l - 1)
-        yc = jnp.clip(yi[:, None] + offs_y, 0, h - 1)
-        xc = jnp.clip(xi[:, None] + offs_x, 0, w - 1)
-        return jnp.take(dog_flat, (lc * h + yc) * w + xc)  # (N, 27)
+        def one(li_, yi_, xi_):
+            return jax.lax.dynamic_slice(
+                dog_stack, (li_ - 1, yi_ - 1, xi_ - 1), (3, 3, 3)
+            )
+
+        # (N, 27) in (dl, dy, dx) row-major order, matching at()
+        return jax.vmap(one)(li, yi, xi).reshape(li.shape[0], 27)
 
     cube_v = None  # refreshed whenever li/yi/xi move
 
