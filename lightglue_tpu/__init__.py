@@ -17,6 +17,7 @@ from .pipeline import (  # noqa: F401
     batch_to_device,
     map_tensor,
     match_pair,
+    match_sequence,
     rbd,
 )
 from .utils.image import load_image, read_image  # noqa: F401

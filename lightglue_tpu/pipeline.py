@@ -471,3 +471,98 @@ def match_pair(
     feats1 = extractor.extract(image1, **preprocess)
     matches01 = matcher({"image0": feats0, "image1": feats1})
     return rbd(feats0), rbd(feats1), rbd(matches01)
+
+
+def match_sequence(
+    extractor: Extractor,
+    matcher: LightGlue,
+    images,
+    window: int = 1,
+) -> Tuple[dict, dict]:
+    """Extract-once windowed sequential matching in ONE device program.
+
+    The fastest way to match an image sequence (video / SLAM / hloc-style
+    sequential mapping): each image is extracted exactly once and matched
+    against its ``window`` successors — per-pair cost is ~1/window of an
+    extraction plus one matcher pass, vs 2 extractions + 1 match for
+    repeated ``match_pair`` calls (the reference's only API,
+    utils.py:150-165).
+
+    images: (B, H, W[, C]) float [0, 1] or uint8, same size (no resizing —
+    pre-size the sequence; H/W are padded to the extractor stride).
+    extractor: any device extractor wrapper exposing ``params`` /
+    ``conf`` / ``_forward_fn`` (SuperPoint, ALIKED, DISK).
+
+    Returns (feats, pairs):
+      feats: per-image arrays — keypoints (B, K, 2), keypoint_scores,
+        descriptors, valid (keypoints in input pixel coords).
+      pairs: i0/i1 (P,) pair indices for every (i, i+w), w <= window, plus
+        matches0 / matching_scores0 (P, K) and ragged ``matches`` /
+        ``scores`` lists as in LightGlue.__call__.
+    """
+    from .end_to_end import make_windowed_sequence_end_to_end, \
+        sequence_window_pairs
+
+    imgs = np.asarray(images)
+    if imgs.dtype == np.uint8:
+        imgs = imgs.astype(np.float32) / 255.0
+    imgs = imgs.astype(np.float32)
+    if imgs.ndim == 3:
+        imgs = imgs[..., None]
+    b, h, w = imgs.shape[:3]
+    if b < 2:
+        raise ValueError("match_sequence needs at least 2 images")
+    stride = getattr(extractor, "stride", 1)
+    ph, pw = (-h) % stride, (-w) % stride
+    if ph or pw:
+        imgs = np.pad(imgs, [(0, 0), (0, ph), (0, pw), (0, 0)], mode="edge")
+    sizes = np.tile([[w, h]], (b, 1)).astype(np.float32)
+
+    cache = getattr(matcher, "_seq_programs", None)
+    if cache is None:
+        cache = matcher._seq_programs = {}
+    key = (id(extractor), min(window, b - 1))
+    prog = cache.get(key)
+    if prog is None:
+        prog = cache[key] = make_windowed_sequence_end_to_end(
+            extractor._forward_fn, extractor.params, extractor.conf,
+            matcher.params, matcher.conf, window=min(window, b - 1),
+        )
+    out = prog(jnp.asarray(imgs), jnp.asarray(sizes))
+
+    i0, i1 = sequence_window_pairs(b, min(window, b - 1))
+    # per-image features: every image appears as the 0-side of some pair
+    # except the last, which is the 1-side of the final w=1 pair
+    f0 = out.feats0
+    feats = {
+        "keypoints": np.concatenate(
+            [np.asarray(f0.keypoints[: b - 1]),
+             np.asarray(out.feats1.keypoints[b - 2 : b - 1])]
+        ),
+        "keypoint_scores": np.concatenate(
+            [np.asarray(f0.keypoint_scores[: b - 1]),
+             np.asarray(out.feats1.keypoint_scores[b - 2 : b - 1])]
+        ),
+        "descriptors": np.concatenate(
+            [np.asarray(f0.descriptors[: b - 1]),
+             np.asarray(out.feats1.descriptors[b - 2 : b - 1])]
+        ),
+        "valid": np.concatenate(
+            [np.asarray(f0.valid[: b - 1]),
+             np.asarray(out.feats1.valid[b - 2 : b - 1])]
+        ),
+        "image_size": sizes,
+    }
+    matches0 = np.asarray(out.matches.matches0)
+    mscores0 = np.asarray(out.matches.matching_scores0)
+    ragged_m, ragged_s = compact_matches(matches0, mscores0)
+    pairs = {
+        "i0": i0,
+        "i1": i1,
+        "matches0": matches0,
+        "matching_scores0": mscores0,
+        "matches": ragged_m,
+        "scores": ragged_s,
+        "stop": int(out.matches.stop),
+    }
+    return feats, pairs

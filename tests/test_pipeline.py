@@ -188,3 +188,45 @@ def test_compile_buckets_match_unpadded():
     n_before = compiled._jit_forward._cache_size()
     compiled({"image0": feats(97, seed=3), "image1": feats(70, seed=4)})
     assert compiled._jit_forward._cache_size() == n_before
+
+
+def test_match_sequence_windowed():
+    """pipeline.match_sequence == independent extract_batch + matcher on
+    every windowed pair, with per-image features reassembled correctly."""
+    from lightglue_tpu.pipeline import match_sequence
+
+    extractor = SuperPoint(max_num_keypoints=64)
+    matcher = LightGlue(
+        "superpoint", depth_confidence=-1.0, width_confidence=-1.0,
+        filter_threshold=0.0,
+    )
+    rng = np.random.default_rng(0)
+    b, h, w = 4, 64, 80
+    imgs = rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32)
+
+    feats, pairs = match_sequence(extractor, matcher, imgs, window=2)
+    # pairs: (0,1) (1,2) (2,3) then (0,2) (1,3)
+    assert list(pairs["i0"]) == [0, 1, 2, 0, 1]
+    assert list(pairs["i1"]) == [1, 2, 3, 2, 3]
+    assert pairs["matches0"].shape == (5, 64)
+    assert len(pairs["matches"]) == 5
+
+    ref = extractor.extract_batch(imgs)
+    np.testing.assert_allclose(
+        feats["keypoints"], ref["keypoints"], atol=1e-5
+    )
+    for p, (a, c) in enumerate(zip(pairs["i0"], pairs["i1"])):
+        side = lambda i: {
+            "keypoints": ref["keypoints"][i : i + 1],
+            "descriptors": ref["descriptors"][i : i + 1],
+            "valid": ref["valid"][i : i + 1],
+            "image_size": ref["image_size"][i : i + 1],
+        }
+        expect = matcher({"image0": side(a), "image1": side(c)})
+        np.testing.assert_array_equal(
+            pairs["matches0"][p], expect["matches0"][0]
+        )
+
+    # a second call reuses the cached program (no retrace)
+    feats2, pairs2 = match_sequence(extractor, matcher, imgs, window=2)
+    np.testing.assert_array_equal(pairs2["matches0"], pairs["matches0"])
