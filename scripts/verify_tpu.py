@@ -120,6 +120,17 @@ def main():
     sd = np.asarray(sout["descriptors"])
     assert np.isfinite(sd).all() and np.isfinite(np.asarray(sout["keypoints"])).all()
     print("JAX SIFT valid:", int(np.asarray(sout["valid"]).sum()))
+
+    # match_sequence pipeline surface (extract-once windowed program)
+    ex = lt.SuperPoint(max_num_keypoints=256)
+    ma = lt.LightGlue("superpoint", depth_confidence=-1.0,
+                      width_confidence=-1.0)
+    seq_imgs = rng.uniform(0, 1, (3, 128, 160, 1)).astype(np.float32)
+    feats_s, pairs_s = lt.match_sequence(ex, ma, seq_imgs, window=2)
+    assert pairs_s["matches0"].shape[0] == 3  # (0,1) (1,2) (0,2)
+    assert np.isfinite(pairs_s["matching_scores0"]).all()
+    print("match_sequence pairs:", pairs_s["matches0"].shape[0],
+          "matched:", int((pairs_s["matches0"] >= 0).sum()))
     print("VERIFY OK")
 
 
