@@ -145,6 +145,10 @@ class SuperPointConfig:
     # >0: use lax.approx_max_k for detection (TPU-fast, ~0.998 observed
     # recall at 0.95 target); 0 = exact top-k (reference parity)
     approx_topk: float = 0.0
+    # EXACT two-level row-capped top-k (ops/topk.py): its lax.cond costs
+    # ~+2.5 ms graph pessimization per program, amortized away in batched
+    # extraction (penalty per program, ~6x top-k saving per image)
+    twolevel_topk: bool = False
 
     def replace(self, **kw) -> "SuperPointConfig":
         return dataclasses.replace(self, **kw)
@@ -162,6 +166,7 @@ class DISKConfig:
     pad_if_not_divisible: bool = True
     resize: int = 1024
     approx_topk: float = 0.0  # see SuperPointConfig.approx_topk
+    twolevel_topk: bool = False  # see SuperPointConfig.twolevel_topk
     mp: bool = False  # bfloat16 U-Net (fp32 heatmap/top-k/descriptor norm)
 
     def replace(self, **kw) -> "DISKConfig":

@@ -221,6 +221,10 @@ def heatmap_to_keypoints(
         kscores, idx = jax.lax.approx_max_k(
             scores.reshape(b, -1), k, recall_target=conf.approx_topk
         )
+    elif conf.twolevel_topk:
+        from ..ops.topk import topk2d
+
+        kscores, idx = topk2d(scores, k)
     else:
         kscores, idx = jax.lax.top_k(scores.reshape(b, -1), k)
     iy = (idx // w).astype(jnp.float32)

@@ -162,7 +162,7 @@ def forward(
         scores = jnp.where(border, -1.0, scores)
     kpts, kscores, valid = top_k_keypoints(
         scores, conf.max_num_keypoints, conf.detection_threshold,
-        approx_recall=conf.approx_topk,
+        approx_recall=conf.approx_topk, twolevel=conf.twolevel_topk,
     )
     descs = sample_descriptors(kpts, desc_map, 8)
     return Features(

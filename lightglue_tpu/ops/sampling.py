@@ -102,7 +102,7 @@ def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
 
 def top_k_keypoints(
     scores: jnp.ndarray, k: int, threshold: float,
-    approx_recall: float = 0.0,
+    approx_recall: float = 0.0, twolevel: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Static-shape keypoint selection replacing the reference's dynamic
     ``torch.where(scores > threshold)`` + per-image top-k
@@ -116,9 +116,23 @@ def top_k_keypoints(
     (e.g. 0.95 is ~8x faster than exact top-k at 1M candidates; observed
     recall on sparse post-NMS maps is ~0.998) — only the weakest detections
     near the cut can differ from exact selection.
+
+    ``twolevel`` selects the EXACT row-capped two-level form
+    (ops/topk.py::topk2d): its lax.cond fallback costs ~+2.5 ms of graph
+    pessimization per program at B=1 (why it is off by default), but in
+    batched extraction the penalty is per PROGRAM while the ~6x top-k
+    saving is per IMAGE.
     """
     b, h, w = scores.shape
     flat = scores.reshape(b, h * w)
+    if twolevel and approx_recall <= 0:
+        from .topk import topk2d
+
+        kscores, idx = topk2d(scores, k)
+        ys = (idx // w).astype(jnp.float32)
+        xs = (idx % w).astype(jnp.float32)
+        kpts = jnp.stack([xs, ys], axis=-1)
+        return kpts, kscores, kscores > threshold
     if approx_recall > 0:
         diagnostics.warn_once(
             "approx-topk",

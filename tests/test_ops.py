@@ -276,3 +276,53 @@ def test_topk2d_ties_and_concentration_fall_back_exact():
     vr, ir = jax.lax.top_k(s.reshape(1, -1), 6)
     v2, i2 = topk2d(s, 6, cap=2)
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(vr))
+
+
+def test_top_k_keypoints_twolevel_exact():
+    """twolevel=True (ops/topk.py) selects identical keypoints/scores/
+    validity as the monolithic top_k, including tie-heavy post-NMS maps."""
+    import numpy as np
+
+    from lightglue_tpu.ops.sampling import top_k_keypoints
+
+    rng = np.random.default_rng(0)
+    # sparse positive maxima over a sea of exact zero ties (post-NMS shape)
+    scores = np.zeros((2, 48, 64), np.float32)
+    for b in range(2):
+        ys = rng.integers(0, 48, 120)
+        xs = rng.integers(0, 64, 120)
+        scores[b, ys, xs] = rng.uniform(0.01, 1.0, 120).astype(np.float32)
+    s = jnp.asarray(scores)
+    ref = top_k_keypoints(s, 64, 0.005)
+    got = top_k_keypoints(s, 64, 0.005, twolevel=True)
+    for a, b_ in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_superpoint_disk_twolevel_topk_forward_exact():
+    import numpy as np
+
+    from lightglue_tpu.configs import DISKConfig, SuperPointConfig
+    from lightglue_tpu.models import disk as dk
+    from lightglue_tpu.models import superpoint as sp
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 80, 1)).astype(np.float32))
+
+    c0 = SuperPointConfig(max_num_keypoints=64)
+    p = sp.init_params(jax.random.key(0), c0)
+    ref = sp.forward(p, c0, img)
+    got = sp.forward(p, c0.replace(twolevel_topk=True), img)
+    np.testing.assert_array_equal(
+        np.asarray(ref.keypoints), np.asarray(got.keypoints)
+    )
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+
+    c1 = DISKConfig(max_num_keypoints=64)
+    pd = dk.init_params(jax.random.key(1), c1)
+    ref = dk.forward(pd, c1, img)
+    got = dk.forward(pd, c1.replace(twolevel_topk=True), img)
+    np.testing.assert_array_equal(
+        np.asarray(ref.keypoints), np.asarray(got.keypoints)
+    )
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
