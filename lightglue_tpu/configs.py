@@ -183,6 +183,7 @@ class ALIKEDConfig:
     nms_radius: int = 2
     resize: int = 1024
     approx_topk: float = 0.0  # see SuperPointConfig.approx_topk
+    twolevel_topk: bool = False  # see SuperPointConfig.twolevel_topk
     mp: bool = False  # bfloat16 encoder/aggregation (fp32 score/desc norm)
 
     def replace(self, **kw) -> "ALIKEDConfig":

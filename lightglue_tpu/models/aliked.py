@@ -285,6 +285,10 @@ def dkd_detect(
         kscores, idx = jax.lax.approx_max_k(
             nms.reshape(b, -1), k, recall_target=conf.approx_topk
         )
+    elif getattr(conf, "twolevel_topk", False):
+        from ..ops.topk import topk2d
+
+        kscores, idx = topk2d(nms, k)
     else:
         kscores, idx = jax.lax.top_k(nms.reshape(b, -1), k)
     iy = idx // w

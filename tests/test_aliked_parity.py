@@ -112,3 +112,24 @@ def test_forward_parity(models):
     np.testing.assert_allclose(
         got_d[order_got], ref_d[order_ref], atol=5e-3
     )
+
+
+def test_aliked_twolevel_topk_forward_exact():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lightglue_tpu.configs import ALIKEDConfig
+    from lightglue_tpu.models import aliked
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32))
+    c = ALIKEDConfig(model_name="aliked-t16", max_num_keypoints=64,
+                     detection_threshold=0.005)
+    p = aliked.init_params(jax.random.key(0), c)
+    ref = aliked.forward(p, c, img)
+    got = aliked.forward(p, c.replace(twolevel_topk=True), img)
+    np.testing.assert_array_equal(
+        np.asarray(ref.keypoints), np.asarray(got.keypoints)
+    )
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
