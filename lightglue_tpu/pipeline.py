@@ -522,13 +522,17 @@ def match_sequence(
     if cache is None:
         cache = matcher._seq_programs = {}
     key = (id(extractor), min(window, b - 1))
-    prog = cache.get(key)
-    if prog is None:
-        prog = cache[key] = make_windowed_sequence_end_to_end(
+    entry = cache.get(key)
+    # the cache entry pins the extractor so its id cannot be recycled to a
+    # different object while the compiled program (closing over the OLD
+    # params) is still served
+    if entry is None or entry[0] is not extractor:
+        prog = make_windowed_sequence_end_to_end(
             extractor._forward_fn, extractor.params, extractor.conf,
             matcher.params, matcher.conf, window=min(window, b - 1),
         )
-    out = prog(jnp.asarray(imgs), jnp.asarray(sizes))
+        cache[key] = entry = (extractor, prog)
+    out = entry[1](jnp.asarray(imgs), jnp.asarray(sizes))
 
     i0, i1 = sequence_window_pairs(b, min(window, b - 1))
     # per-image features: every image appears as the 0-side of some pair
