@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--weights-extractor", default=None)
     ap.add_argument("--weights-matcher", default=None)
     ap.add_argument("--out", default="matches.png")
+    ap.add_argument("--sequence", action="store_true",
+                    help="use pipeline.match_sequence (extract-once fused "
+                         "program) on the two images instead of match_pair")
     args = ap.parse_args()
 
     import matplotlib
@@ -55,7 +58,31 @@ def main():
 
     image0 = load_image(args.image0)
     image1 = load_image(args.image1)
-    feats0, feats1, matches01 = match_pair(extractor, matcher, image0, image1)
+    if args.sequence:
+        if not hasattr(extractor, "_forward_fn"):
+            ap.error("--sequence needs a device extractor "
+                     "(superpoint/disk/aliked)")
+        import numpy as np
+
+        from lightglue_tpu import match_sequence
+        from lightglue_tpu.utils.image import resize_image
+
+        # same-size frames for the fused sequence program
+        h = min(image0.shape[0], image1.shape[0])
+        w = min(image0.shape[1], image1.shape[1])
+        frames = np.stack([
+            resize_image(np.asarray(image0), (h, w))[0],
+            resize_image(np.asarray(image1), (h, w))[0],
+        ])
+        feats, pairs = match_sequence(extractor, matcher, frames, window=1)
+        feats0 = {k: v[0] for k, v in feats.items()}
+        feats1 = {k: v[1] for k, v in feats.items()}
+        matches01 = {"matches": pairs["matches"][0], "stop": pairs["stop"]}
+        image0, image1 = frames[0], frames[1]
+    else:
+        feats0, feats1, matches01 = match_pair(
+            extractor, matcher, image0, image1
+        )
 
     kpts0, kpts1 = feats0["keypoints"], feats1["keypoints"]
     matches = matches01["matches"]
