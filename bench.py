@@ -40,6 +40,46 @@ REPO = Path(__file__).parent
 TRAINED_CKPT = REPO / "weights" / "synthetic_superpoint_lightglue.npz"
 
 
+class _Watchdog:
+    """Emit the driver-contract JSON line and hard-exit if the TPU tunnel
+    hangs mid-bench (a blocked PJRT call cannot be interrupted by signals,
+    so a daemon thread is the only reliable guard). ``beat()`` after every
+    completed line; ``result`` holds the best headline so far."""
+
+    def __init__(self, limit_s: float = 1500.0):
+        import threading
+
+        self.limit = limit_s
+        self.t = time.time()
+        self.result = None
+        self.done = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def beat(self, result=None):
+        self.t = time.time()
+        if result is not None:
+            self.result = result
+
+    def _run(self):
+        import os
+
+        while not self.done:
+            time.sleep(15.0)
+            if self.done:
+                return
+            if time.time() - self.t > self.limit:
+                rec = self.result or {
+                    "metric": "BENCH STALLED before headline (TPU tunnel "
+                              "hang?)",
+                    "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0,
+                }
+                rec = dict(rec)
+                rec["metric"] += " [watchdog: bench stalled, partial result]"
+                print(json.dumps(rec), flush=True)
+                os._exit(2)
+
+
 def _time_forward(conf, params, inputs, batch, reps=8, tries=3):
     """Differential chained timing: the tunnel adds a fixed ~30 ms
     dispatch+fetch overhead per program, so throughput = marginal rate
@@ -520,6 +560,7 @@ def main(M=1024, BATCH=None, REPS=8):
         else _inputs(M, headline_batch)
     )
     detail = {}
+    dog = _Watchdog() if not tiny else None
 
     if not tiny:
         # honest floor: no adaptivity, every layer at full size
@@ -531,6 +572,7 @@ def main(M=1024, BATCH=None, REPS=8):
             _time_forward(fixed, rand_params, _inputs(M, floor_batch),
                           floor_batch, reps=REPS), 1
         )
+        dog.beat()
     headline = _time_forward(
         headline_conf, adaptive_params, adaptive_inputs, headline_batch,
         reps=REPS,
@@ -539,6 +581,13 @@ def main(M=1024, BATCH=None, REPS=8):
         f"adaptive masked bf16 B{headline_batch} ({wtag}, {workload}) "
         "(headline, exact reference semantics)"
     ] = round(headline, 1)
+    if dog is not None:
+        dog.beat({
+            "metric": f"image pairs/sec @{M} kpts — adaptive headline "
+                      "(partial bench)",
+            "value": round(headline, 1), "unit": "pairs/s",
+            "vs_baseline": round(headline / BASELINE, 2),
+        })
     if not tiny:
         agree_tag = f", {agreement:.3f} agreement" if agreement else ""
         twostage_inputs = (
@@ -555,6 +604,7 @@ def main(M=1024, BATCH=None, REPS=8):
                 twostage_batch, reps=REPS,
             ), 1,
         )
+        dog.beat()
     if not tiny:
         for ex, eb in (
             ("superpoint", 8), ("aliked", 8), ("disk", 8),
@@ -569,6 +619,7 @@ def main(M=1024, BATCH=None, REPS=8):
                 )
             except Exception as e:  # informational; never kill bench
                 detail[key] = f"FAIL {e}"[:200]
+            dog.beat()
         for ex, win, key in (
             ("superpoint", 1, "sequence e2e superpoint (extract-once, "
                               "B16 imgs)"),
@@ -586,6 +637,7 @@ def main(M=1024, BATCH=None, REPS=8):
                 )
             except Exception as e:
                 detail[key] = f"FAIL {e}"[:200]
+            dog.beat()
         try:
             ka = _kernel_agreement()
             (REPO / "benchmarks").mkdir(exist_ok=True)
@@ -619,6 +671,8 @@ def main(M=1024, BATCH=None, REPS=8):
         "unit": "pairs/s",
         "vs_baseline": round(headline / BASELINE, 2),
     }
+    if dog is not None:
+        dog.done = True
     print(json.dumps(result))
 
 
