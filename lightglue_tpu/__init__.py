@@ -11,8 +11,10 @@ from .pipeline import (  # noqa: F401
     ALIKED,
     DISK,
     DoGHardNet,
+    DoGHardNetDevice,
     LightGlue,
     SIFT,
+    SIFTDevice,
     SuperPoint,
     batch_to_device,
     map_tensor,

@@ -154,7 +154,10 @@ def forward(params, conf, images: jnp.ndarray, sizes=None):
     from .superpoint import Features
 
     if images.ndim == 4:
-        images = images[..., 0]
+        if images.shape[-1] == 3:  # reference rgb_to_grayscale weights
+            images = images @ jnp.asarray([0.299, 0.587, 0.114], images.dtype)
+        else:
+            images = images[..., 0]
     det = sift_jax.extract_batch(images, conf)
     # LAF scale = 6 * kpt.size (reference dog_hardnet.py:35)
     patches = extract_laf_patches_batch(

@@ -655,7 +655,10 @@ def forward(params, conf: SIFTConfig, images: jnp.ndarray, sizes=None):
     from .superpoint import Features
 
     if images.ndim == 4:
-        images = images[..., 0]
+        if images.shape[-1] == 3:  # reference rgb_to_grayscale weights
+            images = images @ jnp.asarray([0.299, 0.587, 0.114], images.dtype)
+        else:
+            images = images[..., 0]
     out = extract_batch(images, conf)
     desc = out["descriptors"]
     if conf.rootsift:

@@ -335,6 +335,50 @@ class DoGHardNet(SIFT):
         return pred
 
 
+class SIFTDevice(Extractor):
+    """Fully on-device SIFT (models/sift_jax.py TPU DoG scale space) behind
+    the standard Extractor surface — unlike the host-orchestrated ``SIFT``
+    wrapper, this one works with ``match_sequence`` / ``extract_batch``
+    fused programs."""
+
+    stride = 1
+
+    def __init__(self, conf: Optional[SIFTConfig] = None, **conf_overrides):
+        from .models import sift_jax
+
+        self.conf = (conf or SIFTConfig(backend="jax")).replace(
+            **conf_overrides
+        )
+        self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        self.params = None  # handcrafted: no learned parameters
+        self._forward_fn = sift_jax.forward
+        super().__init__()
+
+
+class DoGHardNetDevice(Extractor):
+    """Fully on-device DoGHardNet (TPU SIFT detection + HardNet descriptors
+    on LAF patches, models/hardnet.py) behind the standard Extractor
+    surface; works with ``match_sequence`` / ``extract_batch``."""
+
+    stride = 1
+
+    def __init__(self, params=None, seed: int = 0,
+                 conf: Optional[SIFTConfig] = None, **conf_overrides):
+        from .models import hardnet
+
+        self.conf = (conf or SIFTConfig(backend="jax")).replace(
+            **conf_overrides
+        )
+        self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        if params is None:
+            params = hardnet.init_params(jax.random.key(seed))
+        elif isinstance(params, str):
+            params = weights_lib.load_params(params)
+        self.params = params
+        self._forward_fn = hardnet.forward
+        super().__init__()
+
+
 class LightGlue:
     """Matcher wrapper (reference LightGlue.forward dict API,
     lightglue.py:456-479)."""
@@ -537,26 +581,28 @@ def match_sequence(
     i0, i1 = sequence_window_pairs(b, min(window, b - 1))
     # per-image features: every image appears as the 0-side of some pair
     # except the last, which is the 1-side of the final w=1 pair
-    f0 = out.feats0
+    f0, f1 = out.feats0, out.feats1
+
+    def per_image(field):
+        a = getattr(f0, field)
+        if a is None:
+            return None
+        return np.concatenate(
+            [np.asarray(a[: b - 1]),
+             np.asarray(getattr(f1, field)[b - 2 : b - 1])]
+        )
+
     feats = {
-        "keypoints": np.concatenate(
-            [np.asarray(f0.keypoints[: b - 1]),
-             np.asarray(out.feats1.keypoints[b - 2 : b - 1])]
-        ),
-        "keypoint_scores": np.concatenate(
-            [np.asarray(f0.keypoint_scores[: b - 1]),
-             np.asarray(out.feats1.keypoint_scores[b - 2 : b - 1])]
-        ),
-        "descriptors": np.concatenate(
-            [np.asarray(f0.descriptors[: b - 1]),
-             np.asarray(out.feats1.descriptors[b - 2 : b - 1])]
-        ),
-        "valid": np.concatenate(
-            [np.asarray(f0.valid[: b - 1]),
-             np.asarray(out.feats1.valid[b - 2 : b - 1])]
-        ),
+        "keypoints": per_image("keypoints"),
+        "keypoint_scores": per_image("keypoint_scores"),
+        "descriptors": per_image("descriptors"),
+        "valid": per_image("valid"),
         "image_size": sizes,
     }
+    for extra in ("scales", "oris"):  # SIFT-family
+        v = per_image(extra)
+        if v is not None:
+            feats[extra] = v
     matches0 = np.asarray(out.matches.matches0)
     mscores0 = np.asarray(out.matches.matching_scores0)
     ragged_m, ragged_s = compact_matches(matches0, mscores0)

@@ -230,3 +230,28 @@ def test_match_sequence_windowed():
     # a second call reuses the cached program (no retrace)
     feats2, pairs2 = match_sequence(extractor, matcher, imgs, window=2)
     np.testing.assert_array_equal(pairs2["matches0"], pairs["matches0"])
+
+
+def test_device_sift_extractor_and_sequence():
+    """SIFTDevice behind the Extractor surface + match_sequence with the
+    scale/ori-aware matcher config (device DoG path end to end)."""
+    from lightglue_tpu.pipeline import SIFTDevice, match_sequence
+
+    ex = SIFTDevice(max_num_keypoints=64, resize=96)
+    img = load_image(ASSET0)
+    feats = ex.extract(img)
+    assert feats["keypoints"].shape == (1, 64, 2)
+    assert feats["scales"].shape == (1, 64)
+    assert feats["oris"].shape == (1, 64)
+    assert feats["valid"].sum() > 0
+
+    matcher = LightGlue(
+        "sift", depth_confidence=-1.0, width_confidence=-1.0,
+        filter_threshold=0.0,
+    )
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (3, 64, 80)).astype(np.float32)
+    f, pairs = match_sequence(ex, matcher, imgs, window=2)
+    assert list(pairs["i0"]) == [0, 1, 0]
+    assert f["scales"].shape == (3, 64)
+    assert np.isfinite(pairs["matching_scores0"]).all()
