@@ -20,7 +20,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--extractor", default="superpoint",
                     choices=["superpoint", "disk", "aliked", "sift",
-                             "doghardnet"])
+                             "doghardnet", "sift-device",
+                             "doghardnet-device"])
     ap.add_argument("--image0",
                     default="/root/reference/assets/sacre_coeur1.jpg")
     ap.add_argument("--image1",
@@ -38,14 +39,15 @@ def main():
     matplotlib.use("Agg")
 
     from lightglue_tpu import (
-        ALIKED, DISK, DoGHardNet, LightGlue, SIFT, SuperPoint,
-        load_image, match_pair,
+        ALIKED, DISK, DoGHardNet, DoGHardNetDevice, LightGlue, SIFT,
+        SIFTDevice, SuperPoint, load_image, match_pair,
     )
     from lightglue_tpu.utils import viz2d
 
     extractors = {
         "superpoint": SuperPoint, "disk": DISK, "aliked": ALIKED,
         "sift": SIFT, "doghardnet": DoGHardNet,
+        "sift-device": SIFTDevice, "doghardnet-device": DoGHardNetDevice,
     }
     kw = {"max_num_keypoints": args.max_keypoints}
     if args.weights_extractor:
@@ -54,7 +56,7 @@ def main():
     mkw = {}
     if args.weights_matcher:
         mkw["params"] = args.weights_matcher
-    matcher = LightGlue(args.extractor, **mkw)
+    matcher = LightGlue(args.extractor.replace("-device", ""), **mkw)
 
     image0 = load_image(args.image0)
     image1 = load_image(args.image1)
