@@ -1,10 +1,14 @@
 """Benchmark: LightGlue matcher throughput on one TPU chip.
 
 Prints ONE JSON line (driver contract): the headline throughput at 1024
-keypoints, with the exact configuration named in the metric string. A fuller
-breakdown (fixed floor / masked adaptive / headline / end-to-end per
-extractor) is written to benchmarks/bench_detail.json, and per-kernel
-Pallas-vs-XLA agreement to benchmarks/kernel_agreement.json.
+keypoints, with the exact configuration named in the metric string. The
+contract line is printed IMMEDIATELY after the headline is measured —
+before any detail line — and detail lines then run best-effort under a
+total wall budget (BENCH_BUDGET_S, default 600 s), each flushed to
+benchmarks/bench_detail.json as it completes; per-kernel Pallas-vs-XLA
+agreement goes to benchmarks/kernel_agreement.json. Rationale: round 3's
+bench measured its headline but was killed by the driver's timeout before
+the (then-last) contract print, losing the round's evidence (VERDICT r3).
 
 Headline config = EXACT reference adaptive semantics (masked depth
 early-exit + width pruning, lightglue.py:538-566 — no approximation): with
@@ -41,17 +45,24 @@ TRAINED_CKPT = REPO / "weights" / "synthetic_superpoint_lightglue.npz"
 
 
 class _Watchdog:
-    """Emit the driver-contract JSON line and hard-exit if the TPU tunnel
-    hangs mid-bench (a blocked PJRT call cannot be interrupted by signals,
-    so a daemon thread is the only reliable guard). ``beat()`` after every
-    completed line; ``result`` holds the best headline so far."""
+    """Hard-exit if the TPU tunnel hangs mid-bench (a blocked PJRT call
+    cannot be interrupted by signals, so a daemon thread is the only
+    reliable guard). ``beat()`` after every completed line. The contract
+    JSON line is printed by main() IMMEDIATELY after the headline is
+    measured (round-3 lesson: printing it last lost a full round of
+    evidence to the driver's timeout, VERDICT r3 item 1); once
+    ``printed`` is set, any watchdog exit is rc=0 — the contract is
+    already on stdout and detail lines are best-effort."""
 
-    def __init__(self, limit_s: float = 1500.0):
+    def __init__(self, limit_s: float = 240.0, total_limit_s: float = 900.0):
         import threading
 
         self.limit = limit_s
+        self.total_limit = total_limit_s
+        self.t0 = time.time()
         self.t = time.time()
         self.result = None
+        self.printed = False
         self.done = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -65,19 +76,29 @@ class _Watchdog:
         import os
 
         while not self.done:
-            time.sleep(15.0)
+            time.sleep(10.0)
             if self.done:
                 return
-            if time.time() - self.t > self.limit:
-                rec = self.result or {
-                    "metric": "BENCH STALLED before headline (TPU tunnel "
-                              "hang?)",
-                    "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0,
-                }
-                rec = dict(rec)
-                rec["metric"] += " [watchdog: bench stalled, partial result]"
-                print(json.dumps(rec), flush=True)
-                os._exit(2)
+            now = time.time()
+            stalled = now - self.t > self.limit
+            over = now - self.t0 > self.total_limit
+            if not (stalled or over):
+                continue
+            if self.printed:  # contract already on stdout: clean exit
+                print(
+                    f"[bench watchdog] {'stall' if stalled else 'budget'} "
+                    f"after contract line; exiting 0", file=sys.stderr,
+                )
+                os._exit(0)
+            rec = self.result or {
+                "metric": "BENCH STALLED before headline (TPU tunnel "
+                          "hang?)",
+                "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0,
+            }
+            rec = dict(rec)
+            rec["metric"] += " [watchdog: bench stalled, partial result]"
+            print(json.dumps(rec), flush=True)
+            os._exit(2)
 
 
 def _time_forward(conf, params, inputs, batch, reps=8, tries=3):
@@ -398,7 +419,12 @@ def _kernel_agreement(m=512, n=512, b=2, seed=0):
     k = f32(b, 4, n, 64)
     v = f32(b, 4, n, 64)
     valid = jnp.asarray(rng.random((b, n)) > 0.1)
-    out = {}
+    # Inputs are fp32; both the Pallas kernels and the XLA reference path
+    # run their matmuls through the MXU (bf16-precision passes), so the
+    # maxdiffs below measure kernel-vs-XLA ORDER differences at MXU
+    # precision, not fp32-vs-bf16 casting error (ADVICE r3: tag dtype).
+    out = {"_inputs_dtype": "float32",
+           "_note": "fp32 inputs, MXU (bf16-pass) matmuls on both sides"}
 
     def maxdiff(a, b_):
         return float(jnp.max(jnp.abs(a.astype(jnp.float32)
@@ -517,11 +543,18 @@ def _kernel_agreement(m=512, n=512, b=2, seed=0):
 
 
 def main(M=1024, BATCH=None, REPS=8):
+    import os
+
     import jax
 
     from lightglue_tpu.configs import lightglue_config
     from lightglue_tpu.models import lightglue as lg
 
+    t_start = time.time()
+    # Total wall budget for detail lines (headline is never skipped). The
+    # driver kills the whole bench on ITS budget (round 3: rc=124, zero
+    # output); ours must be comfortably smaller so we exit 0 ourselves.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
     tiny = M < 512  # contract-test mode (CPU backend, no detail lines)
     # B16 beats B64 for the adaptive headline: the early-exit decision is
     # batch-pooled (reference check_if_stop semantics, lightglue.py:645-656),
@@ -560,19 +593,25 @@ def main(M=1024, BATCH=None, REPS=8):
         else _inputs(M, headline_batch)
     )
     detail = {}
-    dog = _Watchdog() if not tiny else None
+    dog = _Watchdog(total_limit_s=budget_s + 300.0) if not tiny else None
 
-    if not tiny:
-        # honest floor: no adaptivity, every layer at full size
-        fixed = base.replace(
-            depth_confidence=-1.0, width_confidence=-1.0,
-            cross_softmax_shift=12.0, self_softmax_shift=12.0,
+    def flush_detail():
+        """Write bench_detail.json after EVERY line: a later kill loses
+        only the in-flight line, never completed evidence."""
+        if tiny:  # contract-test mode must not clobber the real artifact
+            return
+        out_dir = REPO / "benchmarks"
+        out_dir.mkdir(exist_ok=True)
+        (out_dir / "bench_detail.json").write_text(
+            json.dumps(
+                {"unit": "pairs/s @1024 kpts", "baseline_rtx3080": BASELINE,
+                 "elapsed_s": round(time.time() - t_start, 1),
+                 "lines": detail},
+                indent=1,
+            )
         )
-        detail[f"fixed bf16 B{floor_batch} (floor, no adaptivity)"] = round(
-            _time_forward(fixed, rand_params, _inputs(M, floor_batch),
-                          floor_batch, reps=REPS), 1
-        )
-        dog.beat()
+
+    # ---- headline FIRST; contract line printed the moment it exists ----
     headline = _time_forward(
         headline_conf, adaptive_params, adaptive_inputs, headline_batch,
         reps=REPS,
@@ -581,83 +620,6 @@ def main(M=1024, BATCH=None, REPS=8):
         f"adaptive masked bf16 B{headline_batch} ({wtag}, {workload}) "
         "(headline, exact reference semantics)"
     ] = round(headline, 1)
-    if dog is not None:
-        dog.beat({
-            "metric": f"image pairs/sec @{M} kpts — adaptive headline "
-                      "(partial bench)",
-            "value": round(headline, 1), "unit": "pairs/s",
-            "vs_baseline": round(headline / BASELINE, 2),
-        })
-    if not tiny:
-        agree_tag = f", {agreement:.3f} agreement" if agreement else ""
-        twostage_inputs = (
-            _synthetic_inputs(M, twostage_batch)
-            if trained is not None
-            else _inputs(M, twostage_batch)
-        )
-        detail[
-            f"twostage compaction p{prefix} b{bucket} bf16 B{twostage_batch} "
-            f"({wtag}, {workload}{agree_tag})"
-        ] = round(
-            _time_forward(
-                twostage_conf, adaptive_params, twostage_inputs,
-                twostage_batch, reps=REPS,
-            ), 1,
-        )
-        dog.beat()
-    if not tiny:
-        for ex, eb in (
-            ("superpoint", 8), ("aliked", 8), ("disk", 8),
-            ("sift", 2), ("doghardnet", 2),  # SIFT scale space is heavy
-        ):
-            tag = "bf16" if ex in ("superpoint", "aliked", "disk") else "fp32"
-            key = f"end-to-end {ex}({tag}) x2 + match B{eb}"
-            try:
-                detail[key] = round(
-                    _end_to_end_pairs_per_sec(ex, batch=eb, trained=trained,
-                                              reps=2 if eb == 2 else 4), 1
-                )
-            except Exception as e:  # informational; never kill bench
-                detail[key] = f"FAIL {e}"[:200]
-            dog.beat()
-        for ex, win, key in (
-            ("superpoint", 1, "sequence e2e superpoint (extract-once, "
-                              "B16 imgs)"),
-            ("superpoint", 4, "sequence e2e superpoint (extract-once, B16 "
-                              "imgs, window 4 — hloc sequential pairing)"),
-            ("disk", 4, "sequence e2e disk (extract-once, B16 imgs, "
-                        "window 4)"),
-            ("aliked", 4, "sequence e2e aliked (extract-once, B16 imgs, "
-                          "window 4)"),
-        ):
-            try:
-                detail[key] = round(
-                    _sequence_pairs_per_sec(trained=trained, window=win,
-                                            extractor=ex), 1
-                )
-            except Exception as e:
-                detail[key] = f"FAIL {e}"[:200]
-            dog.beat()
-        try:
-            ka = _kernel_agreement()
-            (REPO / "benchmarks").mkdir(exist_ok=True)
-            (REPO / "benchmarks" / "kernel_agreement.json").write_text(
-                json.dumps(ka, indent=1)
-            )
-        except Exception as e:
-            detail["kernel_agreement"] = f"FAIL {e}"[:200]
-
-    if not tiny:  # contract-test mode must not clobber the real artifact
-        out_dir = REPO / "benchmarks"
-        out_dir.mkdir(exist_ok=True)
-        (out_dir / "bench_detail.json").write_text(
-            json.dumps(
-                {"unit": "pairs/s @1024 kpts", "baseline_rtx3080": BASELINE,
-                 "lines": detail},
-                indent=1,
-            )
-        )
-
     result = {
         "metric": (
             f"image pairs/sec @{M} kpts — LightGlue matcher, EXACT adaptive "
@@ -671,9 +633,94 @@ def main(M=1024, BATCH=None, REPS=8):
         "unit": "pairs/s",
         "vs_baseline": round(headline / BASELINE, 2),
     }
+    print(json.dumps(result), flush=True)
     if dog is not None:
-        dog.done = True
-    print(json.dumps(result))
+        dog.printed = True
+        dog.beat()
+    flush_detail()
+    if tiny:
+        return
+
+    # ---- detail lines: best-effort under the remaining wall budget ----
+    def left():
+        return budget_s - (time.time() - t_start)
+
+    def run_line(key, fn, est=60.0):
+        if left() < est:
+            print(f"[bench] skip {key!r}: {left():.0f}s left < ~{est:.0f}s",
+                  file=sys.stderr, flush=True)
+            return
+        try:
+            detail[key] = round(fn(), 1)
+        except Exception as e:  # informational; never kill bench
+            detail[key] = f"FAIL {e}"[:200]
+        dog.beat()
+        flush_detail()
+
+    # honest floor: no adaptivity, every layer at full size
+    fixed = base.replace(
+        depth_confidence=-1.0, width_confidence=-1.0,
+        cross_softmax_shift=12.0, self_softmax_shift=12.0,
+    )
+    run_line(
+        f"fixed bf16 B{floor_batch} (floor, no adaptivity)",
+        lambda: _time_forward(fixed, rand_params, _inputs(M, floor_batch),
+                              floor_batch, reps=REPS),
+    )
+    agree_tag = f", {agreement:.3f} agreement" if agreement else ""
+    twostage_inputs = (
+        _synthetic_inputs(M, twostage_batch)
+        if trained is not None
+        else _inputs(M, twostage_batch)
+    )
+    run_line(
+        f"twostage compaction p{prefix} b{bucket} bf16 B{twostage_batch} "
+        f"({wtag}, {workload}{agree_tag})",
+        lambda: _time_forward(twostage_conf, adaptive_params,
+                              twostage_inputs, twostage_batch, reps=REPS),
+    )
+    for ex, eb in (
+        ("superpoint", 8), ("aliked", 8), ("disk", 8),
+        ("sift", 2), ("doghardnet", 2),  # SIFT scale space is heavy
+    ):
+        tag = "bf16" if ex in ("superpoint", "aliked", "disk") else "fp32"
+        run_line(
+            f"end-to-end {ex}({tag}) x2 + match B{eb}",
+            lambda ex=ex, eb=eb: _end_to_end_pairs_per_sec(
+                ex, batch=eb, trained=trained, reps=2 if eb == 2 else 4),
+            est=90.0 if ex in ("sift", "doghardnet") else 60.0,
+        )
+    for ex, win, key in (
+        ("superpoint", 1, "sequence e2e superpoint (extract-once, "
+                          "B16 imgs)"),
+        ("superpoint", 4, "sequence e2e superpoint (extract-once, B16 "
+                          "imgs, window 4 — hloc sequential pairing)"),
+        ("disk", 4, "sequence e2e disk (extract-once, B16 imgs, "
+                    "window 4)"),
+        ("aliked", 4, "sequence e2e aliked (extract-once, B16 imgs, "
+                      "window 4)"),
+    ):
+        run_line(
+            key,
+            lambda ex=ex, win=win: _sequence_pairs_per_sec(
+                trained=trained, window=win, extractor=ex),
+        )
+
+    if left() >= 60.0:
+        try:
+            ka = _kernel_agreement()
+            (REPO / "benchmarks").mkdir(exist_ok=True)
+            (REPO / "benchmarks" / "kernel_agreement.json").write_text(
+                json.dumps(ka, indent=1)
+            )
+        except Exception as e:
+            detail["kernel_agreement"] = f"FAIL {e}"[:200]
+        dog.beat()
+    else:
+        print(f"[bench] skip kernel_agreement: {left():.0f}s left",
+              file=sys.stderr, flush=True)
+    flush_detail()
+    dog.done = True
 
 
 if __name__ == "__main__":

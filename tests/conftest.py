@@ -17,6 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var in-process; force
 # the CPU backend through the config API before any backend initializes.
@@ -24,3 +25,23 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Exact fp32 matmuls for golden-parity comparisons.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Tier-2 files: torch-reference parity + compaction-accuracy suites that
+# dominate suite wall time on the 1-core host (full suite >10 min; the
+# default `pytest -q` tier excludes these — run them with -m tier2 or
+# `-m ""`; CI runs both tiers).
+_TIER2_FILES = {
+    "test_matcher_parity.py",
+    "test_superpoint_parity.py",
+    "test_aliked_parity.py",
+    "test_sift_parity.py",
+    "test_converters.py",
+    "test_compaction_accuracy.py",
+    "test_adaptive_compact.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _TIER2_FILES:
+            item.add_marker(pytest.mark.tier2)

