@@ -54,10 +54,11 @@ class _Watchdog:
     ``printed`` is set, any watchdog exit is rc=0 — the contract is
     already on stdout and detail lines are best-effort."""
 
-    def __init__(self, limit_s: float = 240.0, total_limit_s: float = 900.0):
+    def __init__(self, limit_s: float = 420.0, total_limit_s: float = 900.0):
+        import os
         import threading
 
-        self.limit = limit_s
+        self.limit = float(os.environ.get("BENCH_STALL_S", limit_s))
         self.total_limit = total_limit_s
         self.t0 = time.time()
         self.t = time.time()

@@ -17,13 +17,15 @@ and mmap-friendly.
 
 from __future__ import annotations
 
+import dataclasses
+from pathlib import Path
 from typing import Dict, Optional
 
 import numpy as np
 import jax.numpy as jnp
 import jax.tree_util as jtu
 
-from .configs import LightGlueConfig
+from .configs import LightGlueConfig, lightglue_config
 
 
 def _lin(sd: Dict[str, np.ndarray], prefix: str) -> dict:
@@ -380,6 +382,187 @@ def convert_disk(
         if leftover:
             raise ValueError(f"unconsumed DISK tensors: {leftover[:8]}")
     return {"down": down, "up": up}
+
+
+# ---------------------------------------------------------------------------
+# Released-checkpoint registry + fetch
+# ---------------------------------------------------------------------------
+#
+# Mirrors the reference's versioned-URL weight loading
+# (lightglue.py:348-349,415-434 for the matcher; superpoint.py:144-145;
+# aliked.py:620,692-695; DISK/HardNet weights are kornia-managed in the
+# reference, disk.py:26 / dog_hardnet.py:13 — the URLs below are the
+# upstream checkpoints those kornia models load). Downloads fail
+# gracefully offline: fetch() raises WeightsUnavailableError with the
+# cache path to drop a manually-obtained file into.
+
+_LIGHTGLUE_VERSION = "v0.1_arxiv"  # reference lightglue.py:348
+_LIGHTGLUE_URL = (
+    "https://github.com/cvg/LightGlue/releases/download/{}/{}.pth"
+)
+
+
+class WeightsUnavailableError(RuntimeError):
+    """A released checkpoint is neither cached nor downloadable."""
+
+
+@dataclasses.dataclass(frozen=True)
+class WeightSpec:
+    """One released checkpoint: where it lives and how to convert it."""
+
+    url: str
+    converter: str  # converter registry key (see _CONVERTERS)
+    # keys to try unwrapping a nested torch checkpoint with (first match
+    # that yields a flat tensor dict wins); () = the file IS the state dict
+    unwrap: tuple = ()
+    # feature-preset name for matcher checkpoints (selects the
+    # LightGlueConfig the converter stacks layers for)
+    features: Optional[str] = None
+
+
+REGISTRY: Dict[str, WeightSpec] = {
+    # matcher checkpoints (reference lightglue.py:351-374 presets)
+    **{
+        f"{feats}_lightglue": WeightSpec(
+            url=_LIGHTGLUE_URL.format(_LIGHTGLUE_VERSION, f"{feats}_lightglue"),
+            converter="lightglue",
+            features=feats,
+        )
+        for feats in ("superpoint", "disk", "aliked", "sift", "doghardnet")
+    },
+    # extractor checkpoints
+    "superpoint_v1": WeightSpec(
+        # reference superpoint.py:144
+        url=("https://github.com/cvg/LightGlue/releases/download/"
+             "v0.1_arxiv/superpoint_v1.pth"),
+        converter="superpoint",
+    ),
+    **{
+        name: WeightSpec(
+            # reference aliked.py:620
+            url=f"https://github.com/Shiaoming/ALIKED/raw/main/models/{name}.pth",
+            converter="aliked",
+        )
+        for name in ("aliked-t16", "aliked-n16", "aliked-n16rot", "aliked-n32")
+    },
+    "disk_depth": WeightSpec(
+        # upstream cvg/DISK checkpoint that kornia's DISK.from_pretrained
+        # ("depth") loads (reference disk.py:26)
+        url="https://github.com/cvg/DISK/raw/master/depth-save.pth",
+        converter="disk",
+        unwrap=("extractor", "state_dict", "model"),
+    ),
+    "hardnet_liberty_aug": WeightSpec(
+        # upstream HardNet checkpoint kornia's HardNet.from_pretrained
+        # loads (reference dog_hardnet.py:13)
+        url=("https://github.com/DagnyT/hardnet/raw/master/pretrained/"
+             "train_liberty_with_aug/checkpoint_liberty_with_aug.pth"),
+        converter="hardnet",
+        unwrap=("state_dict",),
+    ),
+}
+
+
+def _convert_lightglue_entry(sd, spec: WeightSpec):
+    return convert_lightglue(sd, lightglue_config(spec.features))
+
+
+_CONVERTERS = {
+    "lightglue": _convert_lightglue_entry,
+    "superpoint": lambda sd, spec: convert_superpoint(sd),
+    "aliked": lambda sd, spec: convert_aliked(sd),
+    "disk": lambda sd, spec: convert_disk(sd),
+    "hardnet": lambda sd, spec: convert_hardnet(sd),
+}
+
+
+def default_cache_dir() -> Path:
+    """Repo-local ``weights/`` (next to the package) — the same place the
+    reference's local fallback looks (lightglue.py:422-425)."""
+    return Path(__file__).parent.parent / "weights"
+
+
+def _unwrap_state_dict(obj, unwrap: tuple) -> Dict[str, np.ndarray]:
+    """Peel wrapper dicts / DataParallel prefixes down to {key: ndarray}."""
+
+    def is_tensor_dict(d):
+        return isinstance(d, dict) and d and all(
+            hasattr(v, "shape") for v in d.values()
+        )
+
+    for key in unwrap:
+        if isinstance(obj, dict) and key in obj:
+            obj = obj[key]
+            break
+    if hasattr(obj, "state_dict"):  # a whole pickled module
+        obj = obj.state_dict()
+    if not is_tensor_dict(obj):
+        raise WeightsUnavailableError(
+            f"checkpoint structure not understood: "
+            f"{list(obj)[:6] if isinstance(obj, dict) else type(obj)}"
+        )
+    out = {}
+    for k, v in obj.items():
+        k = k.removeprefix("module.")
+        out[k] = np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        )
+    return out
+
+
+def fetch(name: str, cache_dir=None, retries: int = 2) -> dict:
+    """Return the converted param pytree for a released checkpoint.
+
+    Resolution order: converted ``{cache}/{name}.npz`` -> cached torch
+    ``{cache}/{name}.pth`` -> download from the registry URL (converted
+    result is cached as npz). Raises WeightsUnavailableError offline with
+    instructions rather than a bare socket error.
+    """
+    if name not in REGISTRY:
+        raise KeyError(
+            f"unknown weights {name!r}; known: {sorted(REGISTRY)}"
+        )
+    spec = REGISTRY[name]
+    cache = Path(cache_dir) if cache_dir is not None else default_cache_dir()
+    cache.mkdir(parents=True, exist_ok=True)
+    npz = cache / f"{name}.npz"
+    if npz.exists():
+        return load_params(npz)
+    pth = cache / f"{name}.pth"
+    if not pth.exists():
+        _download(spec.url, pth, retries=retries)
+    import torch  # local import: library core stays torch-free
+
+    obj = torch.load(str(pth), map_location="cpu", weights_only=False)
+    sd = _unwrap_state_dict(obj, spec.unwrap)
+    params = _CONVERTERS[spec.converter](sd, spec)
+    save_params(npz, params)
+    return params
+
+
+def _download(url: str, dest: Path, retries: int = 2, timeout: float = 30.0):
+    import urllib.error
+    import urllib.request
+
+    last = None
+    for _ in range(max(1, retries)):
+        try:
+            tmp = dest.with_suffix(dest.suffix + ".part")
+            with urllib.request.urlopen(url, timeout=timeout) as r, \
+                    open(tmp, "wb") as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            tmp.rename(dest)
+            return
+        except (urllib.error.URLError, OSError, TimeoutError) as e:
+            last = e
+    raise WeightsUnavailableError(
+        f"could not download {url}: {last!r}. If this environment is "
+        f"offline, place the file manually at {dest} and re-run."
+    )
 
 
 def save_params_orbax(path: str, params: dict) -> None:
