@@ -157,10 +157,13 @@ class SuperPoint(Extractor):
         params=None,
         conf: Optional[SuperPointConfig] = None,
         seed: int = 0,
+        pretrained: bool = False,
         **conf_overrides,
     ):
         self.conf = (conf or SuperPointConfig()).replace(**conf_overrides)
         self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        if params is None and pretrained:
+            params = weights_lib.fetch("superpoint_v1")
         if params is None:
             params = sp.init_params(jax.random.key(seed), self.conf)
         elif isinstance(params, (str,)):
@@ -180,10 +183,13 @@ class ALIKED(Extractor):
         params=None,
         conf: Optional[ALIKEDConfig] = None,
         seed: int = 0,
+        pretrained: bool = False,
         **conf_overrides,
     ):
         self.conf = (conf or ALIKEDConfig()).replace(**conf_overrides)
         self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        if params is None and pretrained:
+            params = weights_lib.fetch(self.conf.model_name)
         if params is None:
             params = aliked_model.init_params(jax.random.key(seed), self.conf)
         elif isinstance(params, str):
@@ -203,10 +209,13 @@ class DISK(Extractor):
         params=None,
         conf: Optional[DISKConfig] = None,
         seed: int = 0,
+        pretrained: bool = False,
         **conf_overrides,
     ):
         self.conf = (conf or DISKConfig()).replace(**conf_overrides)
         self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        if params is None and pretrained:
+            params = weights_lib.fetch("disk_depth")
         if params is None:
             params = disk_model.init_params(jax.random.key(seed), self.conf)
         elif isinstance(params, str):
@@ -306,10 +315,13 @@ class DoGHardNet(SIFT):
 
     _apply_rootsift = False
 
-    def __init__(self, params=None, seed: int = 0, conf=None, **conf_overrides):
+    def __init__(self, params=None, seed: int = 0, conf=None,
+                 pretrained: bool = False, **conf_overrides):
         super().__init__(conf=conf, **conf_overrides)
         from .models import hardnet
 
+        if params is None and pretrained:
+            params = weights_lib.fetch("hardnet_liberty_aug")
         if params is None:
             params = hardnet.init_params(jax.random.key(seed))
         elif isinstance(params, str):
@@ -363,13 +375,16 @@ class DoGHardNetDevice(Extractor):
     stride = 1
 
     def __init__(self, params=None, seed: int = 0,
-                 conf: Optional[SIFTConfig] = None, **conf_overrides):
+                 conf: Optional[SIFTConfig] = None,
+                 pretrained: bool = False, **conf_overrides):
         from .models import hardnet
 
         self.conf = (conf or SIFTConfig(backend="jax")).replace(
             **conf_overrides
         )
         self.preprocess_conf = PreprocessConfig(resize=self.conf.resize)
+        if params is None and pretrained:
+            params = weights_lib.fetch("hardnet_liberty_aug")
         if params is None:
             params = hardnet.init_params(jax.random.key(seed))
         elif isinstance(params, str):
@@ -389,9 +404,15 @@ class LightGlue:
         params=None,
         conf: Optional[LightGlueConfig] = None,
         seed: int = 0,
+        pretrained: bool = False,
         **conf_overrides,
     ):
         self.conf = conf or lightglue_config(features, **conf_overrides)
+        if params is None and pretrained:
+            # released checkpoint via the registry (reference auto-downloads
+            # at construction, lightglue.py:415-421); raises
+            # WeightsUnavailableError offline
+            params = weights_lib.fetch(self.conf.weights)
         if params is None:
             params = lg.init_params(jax.random.key(seed), self.conf)
         elif isinstance(params, str):

@@ -1,0 +1,169 @@
+"""End-to-end match-quality evaluation on the reference's bundled assets.
+
+The reference validates quality implicitly (real weights on the benchmark
+pairs, benchmark.py:104-114); offline we cannot convert the released
+checkpoints, so this harness measures what IS honestly measurable and
+checks the numbers into benchmarks/quality.json so a broken extractor or
+matcher moves a tracked metric (VERDICT r3 item 5):
+
+* ``jax_sift+mutual_nn`` — the TPU-native DoG/SIFT pipeline (needs no
+  learned weights) on the real pairs, RootSIFT mutual-nearest-neighbor
+  matching, RANSAC fundamental-matrix inlier rate. A real end-to-end
+  quality number for the full extractor.
+* ``opencv_sift+mutual_nn`` — same protocol through the OpenCV backend
+  (reference sift.py:128-133): the cross-backend delta isolates JAX-SIFT
+  regressions from matcher/protocol changes.
+* ``superpoint_random+trained_matcher`` — random-weight SuperPoint
+  keypoints + the synthetic-trained matcher checkpoint: a matcher-in-
+  the-loop proxy (absolute numbers are weak by construction; the metric
+  exists to move when the matcher path breaks).
+
+Usage: python scripts/quality_eval.py [--max-kpts 2048] [--no-write]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+ASSETS = Path("/root/reference/assets")
+PAIRS = [
+    ("easy", ASSETS / "DSC_0410.JPG", ASSETS / "DSC_0411.JPG"),
+    ("difficult", ASSETS / "sacre_coeur1.jpg", ASSETS / "sacre_coeur2.jpg"),
+]
+
+
+def mutual_nn_matches(d0: np.ndarray, d1: np.ndarray, min_sim: float = 0.0):
+    """Mutual nearest neighbors over descriptor similarity (both sets are
+    L2-normalized: RootSIFT by construction, SuperPoint by its head)."""
+    sim = d0 @ d1.T
+    nn0 = sim.argmax(1)
+    nn1 = sim.argmax(0)
+    idx0 = np.arange(len(nn0))
+    mutual = nn1[nn0] == idx0
+    keep = mutual & (sim[idx0, nn0] > min_sim)
+    return np.stack([idx0[keep], nn0[keep]], 1)
+
+
+def ransac_inliers(k0: np.ndarray, k1: np.ndarray, matches: np.ndarray):
+    """Fundamental-matrix RANSAC inlier count (epipolar check works for
+    both bundled scenes; the sacre_coeur pair is non-planar so a
+    homography would undercount)."""
+    import cv2
+
+    if len(matches) < 8:
+        return 0
+    p0 = k0[matches[:, 0]].astype(np.float64)
+    p1 = k1[matches[:, 1]].astype(np.float64)
+    _, mask = cv2.findFundamentalMat(
+        p0, p1, cv2.FM_RANSAC, ransacReprojThreshold=2.0, confidence=0.999,
+    )
+    return 0 if mask is None else int(mask.sum())
+
+
+def eval_mutual_nn(extractor, im0, im1):
+    f0 = extractor.extract(im0)
+    f1 = extractor.extract(im1)
+
+    def unpack(f):
+        k = np.asarray(f["keypoints"])[0]
+        d = np.asarray(f["descriptors"])[0]
+        v = np.asarray(f["valid"])[0] if "valid" in f else np.ones(len(k), bool)
+        return k[v], d[v]
+
+    k0, d0 = unpack(f0)
+    k1, d1 = unpack(f1)
+    matches = mutual_nn_matches(d0, d1)
+    inl = ransac_inliers(k0, k1, matches)
+    return {
+        "kpts": [int(len(k0)), int(len(k1))],
+        "matches": int(len(matches)),
+        "ransac_inliers": inl,
+        "inlier_rate": round(inl / max(len(matches), 1), 4),
+    }
+
+
+def eval_matcher(extractor, matcher, im0, im1):
+    from lightglue_tpu.pipeline import match_pair
+
+    f0, f1, m01 = match_pair(extractor, matcher, im0, im1)
+    matches = np.asarray(m01["matches"])
+    k0 = np.asarray(f0["keypoints"])
+    k1 = np.asarray(f1["keypoints"])
+    inl = ransac_inliers(k0, k1, matches) if len(matches) >= 8 else 0
+    return {
+        "kpts": [int(k0.shape[0]), int(k1.shape[0])],
+        "matches": int(len(matches)),
+        "ransac_inliers": inl,
+        "inlier_rate": round(inl / max(len(matches), 1), 4),
+        "stop_layer": int(m01["stop"]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-kpts", type=int, default=2048)
+    ap.add_argument("--no-write", action="store_true")
+    ap.add_argument("--skip", nargs="*", default=[],
+                    help="method names to skip")
+    args = ap.parse_args()
+
+    from lightglue_tpu import pipeline as pl
+    from lightglue_tpu import weights as W
+    from lightglue_tpu.utils.image import load_image
+
+    out = {
+        "protocol": (
+            "mutual-NN (or LightGlue matcher) matches -> RANSAC "
+            "fundamental-matrix inliers @2px, conf 0.999; pairs are the "
+            "reference benchmark assets (benchmark.py:104-114)"
+        ),
+        "max_kpts": args.max_kpts,
+        "results": {},
+    }
+
+    def run(method, fn):
+        if method in args.skip:
+            return
+        for pname, p0, p1 in PAIRS:
+            t0 = time.time()
+            try:
+                im0, im1 = load_image(p0), load_image(p1)
+                rec = fn(im0, im1)
+            except Exception as e:  # record, never die
+                rec = {"error": f"{e}"[:200]}
+            rec["eval_s"] = round(time.time() - t0, 1)
+            out["results"][f"{method}/{pname}"] = rec
+            print(f"{method}/{pname}: {rec}", flush=True)
+
+    sift_jax = pl.SIFTDevice(max_num_keypoints=args.max_kpts, backend="jax")
+    run("jax_sift+mutual_nn", lambda a, b: eval_mutual_nn(sift_jax, a, b))
+
+    sift_cv = pl.SIFT(max_num_keypoints=args.max_kpts, backend="opencv")
+    run("opencv_sift+mutual_nn", lambda a, b: eval_mutual_nn(sift_cv, a, b))
+
+    ckpt = REPO / "weights" / "synthetic_superpoint_lightglue.npz"
+    if ckpt.exists():
+        sp = pl.SuperPoint(max_num_keypoints=args.max_kpts)
+        matcher = pl.LightGlue(
+            "superpoint", params=W.load_params(ckpt, dtype=np.float32)
+        )
+        run("superpoint_random+trained_matcher",
+            lambda a, b: eval_matcher(sp, matcher, a, b))
+
+    if not args.no_write:
+        (REPO / "benchmarks").mkdir(exist_ok=True)
+        (REPO / "benchmarks" / "quality.json").write_text(
+            json.dumps(out, indent=1)
+        )
+        print("wrote benchmarks/quality.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,36 @@ def test_fetch_offline_raises_with_instructions(tmp_path, monkeypatch):
         w.fetch("nonexistent_weights", cache_dir=tmp_path)
 
 
+def test_pipeline_pretrained_uses_registry(monkeypatch):
+    """pretrained=True routes through weights.fetch with the preset's
+    registry name (reference auto-download, lightglue.py:415-421)."""
+    import jax
+
+    from lightglue_tpu import pipeline as pl
+    from lightglue_tpu.models import lightglue as lg
+
+    asked = []
+    real = lg.init_params(jax.random.key(0), lightglue_config("superpoint"))
+
+    def fake_fetch(name, cache_dir=None, retries=2):
+        asked.append(name)
+        return real
+
+    monkeypatch.setattr(w, "fetch", fake_fetch)
+    m = pl.LightGlue("superpoint", pretrained=True)
+    assert asked == ["superpoint_lightglue"]
+    assert m.params is real
+
+    # offline: the registry error propagates instead of silently
+    # falling back to random weights
+    def offline_fetch(name, cache_dir=None, retries=2):
+        raise w.WeightsUnavailableError("offline")
+
+    monkeypatch.setattr(w, "fetch", offline_fetch)
+    with pytest.raises(w.WeightsUnavailableError):
+        pl.LightGlue("disk", pretrained=True)
+
+
 def test_fetch_converts_cached_pth_and_caches_npz(tmp_path, monkeypatch):
     """Full offline fetch path: a .pth dropped in the cache (the documented
     offline escape hatch) is unwrapped, converted, and cached as npz."""
