@@ -137,7 +137,10 @@ class SuperPointConfig:
 
     descriptor_dim: int = 256
     nms_radius: int = 4
-    max_num_keypoints: int = 2048  # static on TPU; reference default None=all
+    # None = reference default (keep ALL points above threshold,
+    # superpoint.py:108-117): the pipeline derives a static capacity
+    # bucket from image area / NMS spacing (pipeline._auto_kpts_bucket)
+    max_num_keypoints: Optional[int] = 2048
     detection_threshold: float = 0.0005
     remove_borders: int = 4
     resize: int = 1024
@@ -159,7 +162,7 @@ class DISKConfig:
     """Reference: lightglue/disk.py:8-20."""
 
     weights: str = "depth"
-    max_num_keypoints: int = 2048
+    max_num_keypoints: Optional[int] = 2048  # None: see SuperPointConfig
     desc_dim: int = 128
     nms_window_size: int = 5
     detection_threshold: float = 0.0
@@ -178,7 +181,7 @@ class ALIKEDConfig:
     """Reference: lightglue/aliked.py:631-644."""
 
     model_name: str = "aliked-n16"
-    max_num_keypoints: int = 2048
+    max_num_keypoints: Optional[int] = 2048  # None: see SuperPointConfig
     detection_threshold: float = 0.2
     nms_radius: int = 2
     resize: int = 1024

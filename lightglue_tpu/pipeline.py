@@ -30,6 +30,7 @@ from .models import disk as disk_model
 from .models import lightglue as lg
 from .models import sift as sift_model
 from .models import superpoint as sp
+from .utils import diagnostics
 from .utils.image import ImagePreprocessor, numpy_image_to_array, pad_to_multiple
 
 
@@ -74,6 +75,38 @@ def compact_matches(
     return native.compact_matches(matches0, mscores0)
 
 
+_AUTO_KPTS_CAP = 16384
+
+
+def _auto_kpts_bucket(conf, h: int, w: int) -> int:
+    """Static capacity for ``max_num_keypoints=None`` (reference default:
+    keep ALL points above the detection threshold, superpoint.py:108-117,
+    189-207; benchmark.py:142 constructs with max=None).
+
+    Radius-r NMS survivors are local maxima of (2r+1)^2 windows, so two
+    survivors are at least r+1 apart per axis -> at most one per
+    (r+1)x(r+1) tile. That area-derived bound, rounded up to a 2048
+    ladder step (bounds recompiles across image sizes), makes the
+    validity mask EXACTLY the reference's threshold selection whenever
+    the bound fits the 16384 cap; beyond the cap we warn once about the
+    (pathological: >16k surviving maxima) truncation."""
+    r = getattr(conf, "nms_radius", None)
+    if r is None:
+        r = getattr(conf, "nms_window_size", 1) // 2
+    r = max(int(r), 0)
+    bound = -(-h // (r + 1)) * (-(-w // (r + 1)))
+    k = min(-(-bound // 2048) * 2048, _AUTO_KPTS_CAP, h * w)
+    if bound > _AUTO_KPTS_CAP:
+        diagnostics.warn_once(
+            f"auto-kpts-cap-{type(conf).__name__}",
+            f"max_num_keypoints=None: NMS capacity bound {bound} at "
+            f"{w}x{h} exceeds the {_AUTO_KPTS_CAP} static cap; keypoints "
+            "beyond the cap (weakest first) would be dropped. Pass an "
+            "explicit max_num_keypoints to silence.",
+        )
+    return k
+
+
 class Extractor:
     """Base wrapper: preprocessing + jitted forward + coordinate rescale
     (reference Extractor.extract, utils.py:136-147)."""
@@ -83,6 +116,16 @@ class Extractor:
     def __init__(self):
         self._jit_forward = jax.jit(
             self._forward_fn, static_argnames=("conf",)
+        )
+
+    def _effective_conf(self, h: int, w: int):
+        """Resolve max_num_keypoints=None to an area-derived bucket (the
+        jit cache keys on the resolved conf, so each ladder step compiles
+        once)."""
+        if self.conf.max_num_keypoints is not None:
+            return self.conf
+        return self.conf.replace(
+            max_num_keypoints=_auto_kpts_bucket(self.conf, h, w)
         )
 
     def extract(self, image, **preprocess_overrides) -> Dict[str, np.ndarray]:
@@ -105,7 +148,7 @@ class Extractor:
         img, (vh, vw) = pad_to_multiple(img, self.stride)
         feats = self._jit_forward(
             self.params,
-            self.conf,
+            self._effective_conf(img.shape[0], img.shape[1]),
             jnp.asarray(img)[None],
             jnp.asarray([[vw, vh]], jnp.float32),
         )
@@ -137,7 +180,9 @@ class Extractor:
             imgs = np.pad(imgs, [(0, 0), (0, ph), (0, pw), (0, 0)], mode="edge")
         sizes = np.tile([[w, h]], (b, 1)).astype(np.float32)
         feats = self._jit_forward(
-            self.params, self.conf, jnp.asarray(imgs), jnp.asarray(sizes)
+            self.params,
+            self._effective_conf(imgs.shape[1], imgs.shape[2]),
+            jnp.asarray(imgs), jnp.asarray(sizes),
         )
         out = {
             "keypoints": np.asarray(feats.keypoints),

@@ -113,3 +113,39 @@ def test_forward_parity_rgb_batched(models):
         order_ref = np.lexsort((ref_k[:, 0], ref_k[:, 1], -ref_s))
         order_got = np.lexsort((got_k[:, 0], got_k[:, 1], -got_s))
         np.testing.assert_array_equal(got_k[order_got], ref_k[order_ref])
+
+
+def test_forward_parity_threshold_only_max_none(models):
+    """Reference-default ``max_num_keypoints=None`` (keep ALL points above
+    detection_threshold, superpoint.py:108-117,189-207): the pipeline
+    resolves None to an area-derived static bucket whose validity mask is
+    exactly the threshold selection (pipeline._auto_kpts_bucket)."""
+    from lightglue_tpu import pipeline as pl
+
+    ref, params, conf = models
+    ref_none = ref_sp_mod.SuperPoint(max_num_keypoints=None)
+    ref_none.load_state_dict(ref.state_dict())
+    ref_none.eval()
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (64, 80, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_none(
+            {"image": torch.from_numpy(img.transpose(2, 0, 1)[None])}
+        )
+    ext = pl.SuperPoint(params=params, max_num_keypoints=None)
+    feats = ext.extract(img, resize=None)
+    got_valid = feats["valid"][0]
+    got_k = feats["keypoints"][0][got_valid]
+    got_s = feats["keypoint_scores"][0][got_valid]
+
+    ref_k = t2n(ref_out["keypoints"])[0]
+    ref_s = t2n(ref_out["keypoint_scores"])[0]
+    assert len(ref_k) == len(got_k)  # every above-threshold point kept
+    # threshold-only selection -> the SETS are identical; sort purely by
+    # coordinates (score-keyed sorts are unstable across frameworks at
+    # <5e-4 score deltas)
+    order_ref = np.lexsort((ref_k[:, 0], ref_k[:, 1]))
+    order_got = np.lexsort((got_k[:, 0], got_k[:, 1]))
+    np.testing.assert_array_equal(got_k[order_got], ref_k[order_ref])
+    np.testing.assert_allclose(got_s[order_got], ref_s[order_ref], atol=5e-4)
