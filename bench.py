@@ -573,7 +573,7 @@ def main(M=1024, BATCH=None, REPS=8):
     wtag = "trained" if trained is not None else "random-init"
 
     prefix, bucket, agreement = _pick_headline_config()
-    if bucket > M // 2:  # tiny contract mode: shrink, agreement no longer applies
+    if tiny and bucket > M // 2:  # contract mode: shrink; agreement n/a
         bucket, agreement = M // 2, None
     twostage_conf = base.replace(
         compaction_bucket=bucket, compaction_prefix=prefix,
