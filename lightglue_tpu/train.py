@@ -57,6 +57,11 @@ class SyntheticBatch(NamedTuple):
     size0: jnp.ndarray  # (B, 2)
     size1: jnp.ndarray  # (B, 2)
     gt_matches0: jnp.ndarray  # (B, M) int32: index into image1 or -1
+    # SIFT-family extras (add_scale_ori presets); None otherwise
+    scales0: Optional[jnp.ndarray] = None  # (B, M)
+    oris0: Optional[jnp.ndarray] = None  # (B, M)
+    scales1: Optional[jnp.ndarray] = None  # (B, N)
+    oris1: Optional[jnp.ndarray] = None  # (B, N)
 
 
 def synthetic_batch(
@@ -70,6 +75,7 @@ def synthetic_batch(
     kpt_noise: float = 1.0,
     p_confuse: float = 0.6,
     difficulty_jitter: bool = True,
+    with_scale_ori: bool = False,
 ) -> SyntheticBatch:
     """Generate a batch of planted correspondence problems.
 
@@ -165,10 +171,42 @@ def synthetic_batch(
     gt = jnp.where(matched, perm, -1).astype(jnp.int32)
 
     size = jnp.tile(jnp.array([[w, h]], jnp.float32), (batch, 1))
+    extras = {}
+    if with_scale_ori:
+        # SIFT-family channels (reference lightglue.py:495-501 consumes raw
+        # scales/oris through the learnable Fourier posenc). Matched points
+        # carry geometrically consistent values: scale multiplied by the
+        # pair's similarity scale, orientation shifted by its rotation
+        # (plus jitter); distractor slots draw independent values.
+        kso = jax.random.split(jax.random.fold_in(key, 101), 6)
+        s0 = jnp.exp(jax.random.uniform(
+            kso[0], (batch, m), minval=jnp.log(1.6), maxval=jnp.log(32.0)
+        ))
+        o0 = jax.random.uniform(
+            kso[1], (batch, m), minval=-jnp.pi, maxval=jnp.pi
+        )
+        s1_m = s0 * scale * jnp.exp(
+            0.05 * jax.random.normal(kso[2], (batch, m))
+        )
+        o1_m = o0 + theta + 0.05 * jax.random.normal(kso[3], (batch, m))
+        o1_m = jnp.mod(o1_m + jnp.pi, 2 * jnp.pi) - jnp.pi
+        s1_d = jnp.exp(jax.random.uniform(
+            kso[4], (batch, m), minval=jnp.log(1.6), maxval=jnp.log(32.0)
+        ))
+        o1_d = jax.random.uniform(
+            kso[5], (batch, m), minval=-jnp.pi, maxval=jnp.pi
+        )
+        s1 = jnp.where(matched, s1_m, s1_d)
+        o1 = jnp.where(matched, o1_m, o1_d)
+        extras = dict(
+            scales0=s0.astype(jnp.float32), oris0=o0.astype(jnp.float32),
+            scales1=jnp.zeros_like(s1).at[rows, perm].set(s1).astype(jnp.float32),
+            oris1=jnp.zeros_like(o1).at[rows, perm].set(o1).astype(jnp.float32),
+        )
     return SyntheticBatch(
         kpts0.astype(jnp.float32), kpts1.astype(jnp.float32),
         d0.astype(jnp.float32), desc1.astype(jnp.float32),
-        size, size, gt,
+        size, size, gt, **extras,
     )
 
 
@@ -191,6 +229,7 @@ def forward_all_layers(
     desc0, desc1, enc0, enc1, _, _ = lg._prepare(
         params, conf, batch.kpts0, batch.kpts1, batch.desc0, batch.desc1,
         batch.size0, batch.size1, None, None,
+        batch.scales0, batch.oris0, batch.scales1, batch.oris1,
     )
 
     def body(carry, layer_params):
@@ -305,7 +344,10 @@ def make_train_step(conf: LightGlueConfig, optimizer):
 
     @functools.partial(jax.jit, static_argnames=("batch", "m"))
     def step(params, opt_state, key, batch: int = 16, m: int = 512):
-        data = synthetic_batch(key, batch, m, desc_dim=conf.input_dim)
+        data = synthetic_batch(
+            key, batch, m, desc_dim=conf.input_dim,
+            with_scale_ori=conf.add_scale_ori,
+        )
         (loss, aux), grads = jax.value_and_grad(matcher_loss, has_aux=True)(
             params, conf, data
         )

@@ -148,6 +148,14 @@ def main():
     sift_cv = pl.SIFT(max_num_keypoints=args.max_kpts, backend="opencv")
     run("opencv_sift+mutual_nn", lambda a, b: eval_mutual_nn(sift_cv, a, b))
 
+    ckpt_sift = REPO / "weights" / "synthetic_sift_lightglue.npz"
+    if ckpt_sift.exists():
+        matcher_s = pl.LightGlue(
+            "sift", params=W.load_params(ckpt_sift, dtype=np.float32)
+        )
+        run("jax_sift+trained_matcher",
+            lambda a, b: eval_matcher(sift_jax, matcher_s, a, b))
+
     ckpt = REPO / "weights" / "synthetic_superpoint_lightglue.npz"
     if ckpt.exists():
         sp = pl.SuperPoint(max_num_keypoints=args.max_kpts)

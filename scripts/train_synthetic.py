@@ -29,11 +29,16 @@ def main():
     ap.add_argument("--m", type=int, default=512)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument(
-        "--out", default=str(Path(__file__).parent.parent / "weights" /
-                             "synthetic_superpoint_lightglue.npz")
-    )
+    ap.add_argument("--features", default="superpoint",
+                    help="matcher feature preset (sets input_dim / "
+                         "add_scale_ori; configs.FEATURES)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = str(
+            Path(__file__).parent.parent / "weights" /
+            f"synthetic_{args.features}_lightglue.npz"
+        )
 
     import jax
 
@@ -42,7 +47,7 @@ def main():
     from lightglue_tpu.configs import lightglue_config
 
     print("backend:", jax.devices()[0].platform, flush=True)
-    conf = lightglue_config("superpoint")
+    conf = lightglue_config(args.features)
     t0 = time.time()
     params, train_conf, hist = T.train_synthetic(
         conf, steps=args.steps, batch=args.batch, m=args.m, lr=args.lr,
@@ -61,11 +66,13 @@ def main():
     np.savez_compressed(out, **flat)
     print("saved", out, f"({out.stat().st_size/1e6:.1f} MB)")
 
-    hist_path = Path(__file__).parent.parent / "benchmarks" / "train_synthetic_history.json"
+    suffix = "" if args.features == "superpoint" else f"_{args.features}"
+    hist_path = (Path(__file__).parent.parent / "benchmarks" /
+                 f"train_synthetic_history{suffix}.json")
     hist_path.write_text(json.dumps(
-        {"steps": args.steps, "batch": args.batch, "m": args.m,
-         "lr": args.lr, "seed": args.seed, "wall_s": round(dt, 1),
-         "history": hist}, indent=1))
+        {"features": args.features, "steps": args.steps, "batch": args.batch,
+         "m": args.m, "lr": args.lr, "seed": args.seed,
+         "wall_s": round(dt, 1), "history": hist}, indent=1))
     print("history ->", hist_path)
 
 
