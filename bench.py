@@ -39,6 +39,11 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
 
+import os as _os
+if _os.environ.get("LG_CACHE", "1") != "0":
+    from lightglue_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(str(Path(__file__).resolve().parent) + "/.cache/xla")
+
 BASELINE = 150.0  # RTX 3080 compiled+adaptive @1024 (reference README:132)
 REPO = Path(__file__).parent
 TRAINED_CKPT = REPO / "weights" / "synthetic_superpoint_lightglue.npz"

@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+if _os.environ.get("LG_CACHE", "1") != "0":
+    from lightglue_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(str(Path(__file__).resolve().parent.parent) + "/.cache/xla")
+
 from lightglue_tpu.configs import ALIKEDConfig
 from lightglue_tpu.models import aliked
 

@@ -32,6 +32,11 @@ sys.path.insert(0, str(REPO))
 
 import numpy as np
 
+import os as _os
+if _os.environ.get("LG_CACHE", "1") != "0":
+    from lightglue_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(str(Path(__file__).resolve().parent.parent) + "/.cache/xla")
+
 ASSETS = Path("/root/reference/assets")
 PAIRS = [
     ("easy", ASSETS / "DSC_0410.JPG", ASSETS / "DSC_0411.JPG"),
