@@ -219,6 +219,17 @@ def _dense_raw(
         s0 = s0 + _upsample(si, up).astype(jnp.float32)
     if "b" in sh["0"]:
         s0 = s0 + sh["0"]["b"].astype(jnp.float32)
+    from .lightglue import _on_tpu
+
+    if _on_tpu():
+        # fused Pallas strip kernel: all three 3x3 tails + selus + sigmoid
+        # in one VMEM pass (ops/score_head.py; 2.11 -> ~0.2 ms/img on v5e)
+        from ..ops.score_head import score_head_pallas
+
+        score_map = score_head_pallas(
+            sh, s0, mp=(x1.dtype == jnp.bfloat16)
+        )
+        return x1234, score_map
     # tiny-cout 3x3 convs: tap-matmul keeps the 9*cout<=36 partial products
     # in one lane tile instead of a lane-starved conv (see nn.conv2d_tapmat)
     s = selu(s0.astype(x1.dtype))
@@ -238,22 +249,23 @@ def _gather_patches(maps: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray, r: int)
     """Gather (2r+1)^2 patches from (B, H, W) maps at integer centers
     (B, K), zero padding outside. Returns (B, K, (2r+1)^2) row-major.
 
-    One row gather per keypoint from a precomputed neighborhood table of
-    shifted copies (TPU gathers cost per ROW, so (2r+1)^2 scalar gathers per
-    point lose badly to a single (2r+1)^2-wide row)."""
+    Row gathers from an x-shift table (TPU gathers cost per ROW, so
+    (2r+1)^2 scalar gathers per point lose badly): the table holds only the
+    2r+1 COLUMN shifts ((2r+1)x the map in HBM, not (2r+1)^2x — the full
+    neighborhood table was 78 MB/image at 1024x768 r=2 and dominated DKD's
+    batch scaling), and each keypoint gathers its 2r+1 patch ROWS from it."""
     b, h, w = maps.shape
     ks = 2 * r + 1
-    mp = jnp.pad(maps, ((0, 0), (r, r), (r, r)))
-    table = jnp.stack(
-        [
-            mp[:, dy : dy + h, dx : dx + w]
-            for dy in range(ks)
-            for dx in range(ks)
-        ],
-        axis=-1,
-    ).reshape(b, h * w, ks * ks)
-    idx = iy * w + ix  # centers always in [0, H) x [0, W)
-    return jnp.take_along_axis(table, idx[..., None], axis=1)
+    mp = jnp.pad(maps, ((0, 0), (r, r), (r, r)))  # (b, h+2r, w+2r)
+    hp = h + 2 * r
+    xtab = jnp.stack(
+        [mp[:, :, dx : dx + w] for dx in range(ks)], axis=-1
+    ).reshape(b, hp * w, ks)  # xtab[y, x, dx] = maps[y - r, x + dx - r]
+    # patch row dy at padded row iy+dy, same x
+    rows = iy[..., None] + jnp.arange(ks)[None, None, :]  # (B, K, ks)
+    idx = (rows * w + ix[..., None]).reshape(b, -1)  # (B, K*ks)
+    vals = jnp.take_along_axis(xtab, idx[..., None], axis=1)
+    return vals.reshape(b, iy.shape[1], ks * ks)  # dy-major, matches grid
 
 
 def dkd_detect(

@@ -72,10 +72,37 @@ def bilinear_sample(
     return top * (1 - wy) + bot * wy
 
 
+class _NMSDispatch:
+    """Process-wide switch for the fused Pallas NMS path (ops/nms.py)."""
+
+    enabled = True
+
+
+def _nms_use_pallas(h: int, w: int, nms_radius: int) -> bool:
+    if not _NMSDispatch.enabled:
+        return False
+    from ..models.lightglue import _on_tpu
+
+    if not _on_tpu():
+        return False
+    from .nms import nms_pallas_ok
+
+    return nms_pallas_ok(h, w, nms_radius)
+
+
 def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
     """Iterative max-pool NMS over (B, H, W) score maps — exact port of the
-    reference algorithm (superpoint.py:52-68): two suppression rounds."""
+    reference algorithm (superpoint.py:52-68): two suppression rounds.
+
+    On TPU this dispatches to the fused Pallas strip kernel (ops/nms.py,
+    bitwise-identical; one HBM read+write instead of ten reduce_window
+    round-trips — measured 1.32 ms/img -> ~0.2 at 1024x768)."""
     assert nms_radius >= 0
+    b, h, w = scores.shape
+    if _nms_use_pallas(h, w, nms_radius):
+        from .nms import simple_nms_pallas
+
+        return simple_nms_pallas(scores, nms_radius)
     s = scores[..., None]  # (B, H, W, 1)
 
     def max_pool(x):

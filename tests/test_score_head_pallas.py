@@ -1,0 +1,69 @@
+"""Fused ALIKED score-head kernel (ops/score_head.py) vs the XLA tapmat
+tail it replaces (models/aliked.py::_dense_raw fallback path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightglue_tpu import nn
+from lightglue_tpu.models.aliked import selu
+from lightglue_tpu.ops.score_head import score_head_pallas
+
+
+def _xla_tail(sh, s0, mp):
+    dt = jnp.bfloat16 if mp else jnp.float32
+    s = selu(s0.astype(dt))
+    s = selu(nn.conv2d_tapmat(sh["2"], s))
+    s = selu(nn.conv2d_tapmat(sh["4"], s))
+    s = nn.conv2d_tapmat(sh["6"], s)
+    return jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
+
+
+def _params(key):
+    k = jax.random.split(key, 3)
+    return {
+        "2": nn.conv2d_init(k[0], 8, 4, 3, bias=False),
+        "4": nn.conv2d_init(k[1], 4, 4, 3, bias=False),
+        "6": nn.conv2d_init(k[2], 4, 1, 3, bias=False),
+    }
+
+
+def test_agreement_fp32():
+    sh = _params(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    s0 = jnp.asarray(rng.standard_normal((2, 96, 128, 8)).astype(np.float32))
+    ref = np.asarray(_xla_tail(sh, s0, False))
+    got = np.asarray(
+        score_head_pallas(sh, s0, mp=False, tile_rows=32, interpret=True)
+    )
+    # identical fp32 products, different fp32 accumulation order
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
+
+
+def test_mp_no_worse_than_xla_mp():
+    """The kernel's bf16 mode keeps fp32 accumulation throughout (the XLA
+    tapmat path rounds the 36-lane tap partials to bf16 between the matmul
+    and the shift-sum), so vs the fp32 truth it must be at least as close
+    as the XLA mp path — not bit-identical to it."""
+    sh = _params(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    s0 = jnp.asarray(rng.standard_normal((2, 96, 128, 8)).astype(np.float32))
+    truth = np.asarray(_xla_tail(sh, s0, False))
+    xla_mp = np.asarray(_xla_tail(sh, s0, True))
+    got = np.asarray(
+        score_head_pallas(sh, s0, mp=True, tile_rows=32, interpret=True)
+    )
+    np.testing.assert_allclose(got, xla_mp, atol=2e-2, rtol=0)
+    assert np.abs(got - truth).mean() <= np.abs(xla_mp - truth).mean() * 1.05
+
+
+def test_agreement_unaligned_width():
+    sh = _params(jax.random.key(2))
+    rng = np.random.default_rng(3)
+    s0 = jnp.asarray(rng.standard_normal((1, 80, 200, 8)).astype(np.float32))
+    ref = np.asarray(_xla_tail(sh, s0, False))
+    got = np.asarray(
+        score_head_pallas(sh, s0, mp=False, tile_rows=32, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
