@@ -219,17 +219,15 @@ def _dense_raw(
         s0 = s0 + _upsample(si, up).astype(jnp.float32)
     if "b" in sh["0"]:
         s0 = s0 + sh["0"]["b"].astype(jnp.float32)
-    from .lightglue import _on_tpu
-
-    if _on_tpu():
-        # fused Pallas strip kernel: all three 3x3 tails + selus + sigmoid
-        # in one VMEM pass (ops/score_head.py; 2.11 -> ~0.2 ms/img on v5e)
-        from ..ops.score_head import score_head_pallas
-
-        score_map = score_head_pallas(
-            sh, s0, mp=(x1.dtype == jnp.bfloat16)
-        )
-        return x1234, score_map
+    # Score-head tail: the fused Pallas strip kernel (ops/score_head.py)
+    # wins in ISOLATION (0.44 ms vs 2.11 for lane-starved XLA convs) but
+    # LOSES in full composition on v5e: the CHW transpose it needs poisons
+    # XLA's layout assignment for the shared aggregation chain
+    # (extract_dense_map 6.8 -> 24-28 ms/img, barrier does not help), while
+    # the tap-matmul tail fuses into the aggregation for +0.3 ms marginal.
+    # Keep the XLA tap-matmul path as the default everywhere; the kernel
+    # stays available (ops.score_head.score_head_pallas) with exactness
+    # tests for a future standalone-score-map use case.
     # tiny-cout 3x3 convs: tap-matmul keeps the 9*cout<=36 partial products
     # in one lane tile instead of a lane-starved conv (see nn.conv2d_tapmat)
     s = selu(s0.astype(x1.dtype))

@@ -142,5 +142,12 @@ def simple_nms_pallas(
 
 
 def nms_pallas_ok(h: int, w: int, nms_radius: int) -> bool:
-    """Shape gate: the strip (plus halo) must be worth tiling."""
-    return h >= 64 and w >= 128 and 1 <= nms_radius <= 8
+    """Shape/radius gate, measured in FULL composition on v5e @1024x768:
+    the kernel wins only at large radii (SuperPoint r=4: 2.60 vs 2.70
+    ms/img full forward). At r=2 the XLA separable path is already cheap
+    and the pallas_call disrupts fusion of the surrounding graph — DISK is
+    a wash (9.11 vs 9.06) and ALIKED's dense+DKD composition REGRESSES
+    8.5 ms/img (17.0 vs 8.5: the kernel between the score map and its
+    top_k/patch-gather consumers defeats XLA's scheduling around the
+    barrier). Isolated-kernel wins lie; gate on radius >= 3."""
+    return h >= 64 and w >= 128 and 3 <= nms_radius <= 8

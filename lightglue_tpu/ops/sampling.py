@@ -95,8 +95,9 @@ def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
     reference algorithm (superpoint.py:52-68): two suppression rounds.
 
     On TPU this dispatches to the fused Pallas strip kernel (ops/nms.py,
-    bitwise-identical; one HBM read+write instead of ten reduce_window
-    round-trips — measured 1.32 ms/img -> ~0.2 at 1024x768)."""
+    bitwise-identical) for radius >= 3 only — at small radii the XLA path
+    is cheap and the kernel hurts surrounding fusion (see nms_pallas_ok
+    for the full-composition measurements)."""
     assert nms_radius >= 0
     b, h, w = scores.shape
     if _nms_use_pallas(h, w, nms_radius):

@@ -20,6 +20,15 @@ Zero shift-fill reproduces conv SAME zero padding at image borders; row
 strips carry a halo of 8 >= 3 (one ring per conv) so central rows are
 exact. Under ``mp`` the inter-stage values are rounded to bfloat16 to
 match the XLA path's working dtype (accumulation stays fp32 in both).
+
+STATUS — NOT wired into models/aliked.py (measured round 4, v5e): the
+kernel wins in isolation (0.44 ms vs 2.11 ms XLA convs) but LOSES in full
+composition: its NHWC->CHW operand transpose poisons XLA's layout
+assignment for the shared aggregation/upsample chain that also feeds the
+feature map (extract_dense_map 6.8 -> 24-28 ms/img; an
+optimization_barrier does not help), while the tap-matmul tail fuses into
+the aggregation for +0.3 ms marginal. Use only for standalone score-map
+computation.
 """
 
 from __future__ import annotations
