@@ -545,6 +545,26 @@ def _kernel_agreement(m=512, n=512, b=2, seed=0):
     out["fused_cross_block_exact_m1_vs_xla"] = maxdiff(
         ec1 * mask1f, rc1 * mask1f
     )
+
+    # SuperPoint fused stem (ops/stem.py) vs the XLA conv composition
+    from lightglue_tpu import nn as _nn
+    from lightglue_tpu.models import superpoint as _sp
+    from lightglue_tpu.ops import stem as _stem
+
+    sp_params = _sp.init_params(jax.random.key(seed))
+    stem_p = {"conv1a": sp_params["conv1a"], "conv1b": sp_params["conv1b"]}
+    img = jnp.asarray(rng.uniform(0, 1, (2, 128, 256, 1)).astype(np.float32))
+
+    @jax.jit
+    def _stem_pair(im):
+        got = _stem.fused_stem_pallas(stem_p, im, mp=True)
+        x = im.astype(jnp.bfloat16)
+        x = jax.nn.relu(_nn.conv2d(stem_p["conv1a"], x))
+        x = jax.nn.relu(_nn.conv2d(stem_p["conv1b"], x))
+        return got.astype(jnp.float32), _nn.max_pool(x, 2).astype(jnp.float32)
+
+    g_st, r_st = _stem_pair(img)
+    out["fused_stem_vs_xla_bf16"] = maxdiff(g_st, r_st)
     return out
 
 

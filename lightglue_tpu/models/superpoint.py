@@ -82,9 +82,23 @@ def dense_forward(params: nn.Params, image: jnp.ndarray, mp: bool = False):
     def cbr(name, x):  # conv + relu
         return jax.nn.relu(nn.conv2d(params[name], x))
 
-    x = cbr("conv1a", x)
-    x = cbr("conv1b", x)
-    x = nn.max_pool(x, 2)
+    from . import lightglue as _lg  # _on_tpu, no cycle at import time
+    from ..ops import stem as _stem
+
+    if _lg._on_tpu() and _stem.stem_pallas_ok(*image.shape[1:3]):
+        # Fused conv1a+conv1b+pool1 Pallas strip kernel: the full-res
+        # stretch is 1.61 of 2.59 ms/img composed from XLA convs; the
+        # kernel does it in 0.83 ms (B8 768x1024 bf16, v5e) and unlike
+        # the ALIKED score-head case (aliked.py:222) its NHWC output
+        # needs no relayout, so the win survives composition.
+        x = _stem.fused_stem_pallas(
+            {"conv1a": params["conv1a"], "conv1b": params["conv1b"]},
+            image, mp=mp,
+        )
+    else:
+        x = cbr("conv1a", x)
+        x = cbr("conv1b", x)
+        x = nn.max_pool(x, 2)
     x = cbr("conv2a", x)
     x = cbr("conv2b", x)
     x = nn.max_pool(x, 2)

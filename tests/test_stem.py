@@ -1,0 +1,60 @@
+"""Fused SuperPoint stem kernel (ops/stem.py) vs the XLA conv path.
+
+Interpret-mode Pallas on CPU; on-TPU agreement is asserted by bench.py's
+kernel-agreement section (fused_stem_vs_xla key)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightglue_tpu import nn
+from lightglue_tpu.models import superpoint as sp
+from lightglue_tpu.ops.stem import fused_stem_pallas, stem_pallas_ok
+
+
+def _xla_stem(params, image, mp):
+    x = image.astype(jnp.bfloat16) if mp else image
+    x = jax.nn.relu(nn.conv2d(params["conv1a"], x))
+    x = jax.nn.relu(nn.conv2d(params["conv1b"], x))
+    return nn.max_pool(x, 2)
+
+
+@pytest.fixture(scope="module")
+def stem_params():
+    params = sp.init_params(jax.random.key(0))
+    return {"conv1a": params["conv1a"], "conv1b": params["conv1b"]}
+
+
+@pytest.mark.parametrize("mp", [False, True])
+@pytest.mark.parametrize("shape", [(2, 64, 256), (1, 80, 300)])
+def test_stem_agrees_with_xla(stem_params, mp, shape):
+    b, h, w = shape
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32))
+    got = np.asarray(
+        fused_stem_pallas(stem_params, img, mp=mp, interpret=True).astype(
+            jnp.float32
+        )
+    )
+    want = np.asarray(_xla_stem(stem_params, img, mp).astype(jnp.float32))
+    assert got.shape == want.shape == (b, h // 2, w // 2, 64)
+    tol = 2e-2 if mp else 1e-5
+    np.testing.assert_allclose(got, want, atol=tol)
+
+
+def test_stem_gate():
+    assert stem_pallas_ok(768, 1024)
+    assert not stem_pallas_ok(768, 254)  # too narrow
+    assert not stem_pallas_ok(50, 1024)  # too short
+    assert not stem_pallas_ok(81, 1024)  # odd rows
+
+
+def test_dense_forward_unchanged_on_cpu(stem_params):
+    """The CPU/test path must keep using the XLA stem (gate is TPU-only)."""
+    params = sp.init_params(jax.random.key(0))
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 256, 1)).astype(np.float32))
+    scores, desc = sp.dense_forward(params, img)
+    assert scores.shape == (1, 64, 256)
+    assert desc.shape == (1, 8, 32, 256)
