@@ -152,6 +152,11 @@ class SuperPointConfig:
     # ~+2.5 ms graph pessimization per program, amortized away in batched
     # extraction (penalty per program, ~6x top-k saving per image)
     twolevel_topk: bool = False
+    # Fused conv1a+conv1b+pool1 Pallas kernel on TPU (ops/stem.py). Not
+    # bitwise vs the XLA conv chain (~4e-3 bf16 max-abs on the pooled
+    # activations), which can flip NMS ties near the detection threshold;
+    # set False to force the XLA conv path for reference-exact selection.
+    fused_stem: bool = True
 
     def replace(self, **kw) -> "SuperPointConfig":
         return dataclasses.replace(self, **kw)

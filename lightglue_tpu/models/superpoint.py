@@ -61,7 +61,12 @@ def rgb_to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(image * w, axis=-1, keepdims=True)
 
 
-def dense_forward(params: nn.Params, image: jnp.ndarray, mp: bool = False):
+def dense_forward(
+    params: nn.Params,
+    image: jnp.ndarray,
+    mp: bool = False,
+    fused_stem: bool = True,
+):
     """Shared encoder + both heads on (B, H, W, C) images; returns the
     full-res NMS'd score map (B, H, W) and the dense descriptor map
     (B, H/8, W/8, D), L2-normalized (superpoint.py:158-215).
@@ -85,7 +90,7 @@ def dense_forward(params: nn.Params, image: jnp.ndarray, mp: bool = False):
     from . import lightglue as _lg  # _on_tpu, no cycle at import time
     from ..ops import stem as _stem
 
-    if _lg._on_tpu() and _stem.stem_pallas_ok(*image.shape[1:3]):
+    if fused_stem and _lg._on_tpu() and _stem.stem_pallas_ok(*image.shape[1:3]):
         # Fused conv1a+conv1b+pool1 Pallas strip kernel: the full-res
         # stretch is 1.61 of 2.59 ms/img composed from XLA convs; the
         # kernel does it in 0.83 ms (B8 768x1024 bf16, v5e) and unlike
@@ -154,7 +159,9 @@ def forward(
     detections in the pad band are suppressed (the reference instead crops
     per-image, sift.py:207-210).
     """
-    scores, desc_map = dense_forward(params, image, mp=conf.mp)
+    scores, desc_map = dense_forward(
+        params, image, mp=conf.mp, fused_stem=conf.fused_stem
+    )
     # materialize once — XLA otherwise may duplicate the shared VGG trunk
     # into the detector and descriptor consumers (see aliked.forward)
     scores, desc_map = jax.lax.optimization_barrier((scores, desc_map))

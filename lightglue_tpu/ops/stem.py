@@ -219,5 +219,8 @@ def fused_stem_pallas(
 
 
 def stem_pallas_ok(h: int, w: int) -> bool:
-    """Shape gate: strips must tile and the W lanes must be worth it."""
-    return h % 16 == 0 and w % 2 == 0 and h >= 64 and w >= 256
+    """Shape gate: strips must tile, the W lanes must be worth it, and the
+    a1 VMEM scratch ((th+2)*64*W elements, linear in W — ~2.25 MB at W=1024
+    bf16) must fit comfortably: beyond W=4096 it approaches the VMEM budget
+    and the kernel would fail to compile instead of falling back."""
+    return h % 16 == 0 and w % 2 == 0 and h >= 64 and 256 <= w <= 4096

@@ -1,7 +1,9 @@
 """Fused SuperPoint stem kernel (ops/stem.py) vs the XLA conv path.
 
-Interpret-mode Pallas on CPU; on-TPU agreement is asserted by bench.py's
-kernel-agreement section (fused_stem_vs_xla key)."""
+Interpret-mode Pallas on CPU; on-TPU agreement is tracked by bench.py's
+kernel-agreement section under the ``fused_stem_vs_xla_bf16`` key
+(benchmarks/kernel_agreement.json). Typical bf16 max-abs disagreement is
+~4e-3; the assertion bound here is 2e-2."""
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +50,21 @@ def test_stem_gate():
     assert not stem_pallas_ok(768, 254)  # too narrow
     assert not stem_pallas_ok(50, 1024)  # too short
     assert not stem_pallas_ok(81, 1024)  # odd rows
+    assert not stem_pallas_ok(768, 4100)  # a1 scratch would exceed VMEM
+
+
+def test_fused_stem_config_switch():
+    """SuperPointConfig.fused_stem=False must force the XLA conv path
+    (ADVICE r4: reference-exact selection needs an off switch)."""
+    from lightglue_tpu.configs import SuperPointConfig
+
+    assert SuperPointConfig().fused_stem
+    conf = SuperPointConfig(fused_stem=False)
+    params = sp.init_params(jax.random.key(0), conf)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 64, 256, 1)).astype(np.float32))
+    out = sp.forward(params, conf, img)
+    assert out.keypoints.shape[0] == 1
 
 
 def test_dense_forward_unchanged_on_cpu(stem_params):
