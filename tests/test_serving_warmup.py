@@ -78,3 +78,27 @@ def test_persistent_cache_roundtrip(tmp_path, small_matcher):
             assert any(e for e in entries)
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_mesh_batch_not_divisible_by_devices(small_matcher):
+    """b=13 ragged pairs on an 8-device mesh: dispatch must pad-and-mask
+    (dummy pairs) so the sharded batch divides the mesh, and results must
+    come back per-pair in input order (VERDICT r4 item 8)."""
+    conf, params = small_matcher
+    mesh = make_mesh(8, devices=jax.devices("cpu")[:8])
+    bm = BatchMatcher(conf, params, mesh=mesh, buckets=(16, 32), max_batch=16)
+    rng = np.random.default_rng(3)
+    sizes = [(8 + i, 12 - i % 5) for i in range(13)]
+    res = bm.match_pairs(_pairs(rng, sizes))
+    assert len(res) == 13
+    for r, (n0, n1) in zip(res, sizes):
+        assert r["matches0"].shape == (n0,)
+        assert r["matches1"].shape == (n1,)
+        m = r["matches"]
+        assert np.all(m[:, 0] < n0) and np.all(m[:, 1] < n1)
+    # same pairs unbatched on a single device must agree exactly: the
+    # mesh/padding path may not change match results
+    bm1 = BatchMatcher(conf, params, buckets=(16, 32), max_batch=1)
+    res1 = bm1.match_pairs(_pairs(np.random.default_rng(3), sizes))
+    for a, b in zip(res, res1):
+        np.testing.assert_array_equal(a["matches0"], b["matches0"])
