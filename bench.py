@@ -256,7 +256,7 @@ def _extractor_setup(extractor, k):
 
 
 def _end_to_end_pairs_per_sec(extractor="superpoint", batch=8, reps=4,
-                              tries=3, trained=None):
+                              tries=2, trained=None):
     """Single-program extract x2 + match throughput (one dispatch per
     pair-batch; the reference crosses Python between models,
     utils.py:150-165)."""
@@ -320,7 +320,7 @@ def _end_to_end_pairs_per_sec(extractor="superpoint", batch=8, reps=4,
     return batch * 2 * reps / max(t3 - t1, 1e-9)
 
 
-def _sequence_pairs_per_sec(batch=16, reps=4, tries=3, trained=None,
+def _sequence_pairs_per_sec(batch=16, reps=4, tries=2, trained=None,
                             window=1, extractor="superpoint"):
     """Extract-once sequence pipeline: B images -> windowed consecutive
     pairs per program iteration (end_to_end.make_sequence_end_to_end /
@@ -621,18 +621,48 @@ def main(M=1024, BATCH=None, REPS=8):
     detail = {}
     dog = _Watchdog(total_limit_s=budget_s + 300.0) if not tiny else None
 
+    # Detail-line ROTATION (VERDICT r4 weak #2): when the budget runs out
+    # mid-list, lines at the tail silently rotate out of the evidence. Two
+    # fixes: (a) alternate which half of the detail list runs first, keyed
+    # on the number of completed rounds (BENCH_r*.json files), so every
+    # artifact refreshes at least every other round; (b) carry lines from
+    # the previous bench_detail.json forward under "stale_lines" so a
+    # skipped line's last measured value stays on the record, explicitly
+    # marked stale instead of vanishing.
+    rot = len(list(REPO.glob("BENCH_r*.json"))) % 2
+    prev_lines = {}
+    detail_path = REPO / "benchmarks" / "bench_detail.json"
+    if detail_path.exists():
+        try:
+            _prev = json.loads(detail_path.read_text())
+            prev_lines = {
+                k: v for k, v in _prev.get("lines", {}).items()
+                if isinstance(v, (int, float))
+            }
+            prev_lines.update(_prev.get("stale_lines", {}))
+        except Exception:
+            prev_lines = {}
+
     def flush_detail():
         """Write bench_detail.json after EVERY line: a later kill loses
         only the in-flight line, never completed evidence."""
         if tiny:  # contract-test mode must not clobber the real artifact
             return
+        stale = {k: v for k, v in prev_lines.items() if k not in detail}
         out_dir = REPO / "benchmarks"
         out_dir.mkdir(exist_ok=True)
-        (out_dir / "bench_detail.json").write_text(
+        detail_path.write_text(
             json.dumps(
                 {"unit": "pairs/s @1024 kpts", "baseline_rtx3080": BASELINE,
                  "elapsed_s": round(time.time() - t_start, 1),
-                 "lines": detail},
+                 "rotation": ("sequence+agreement first" if rot == 0
+                              else "e2e first"),
+                 "lines": detail,
+                 "stale_lines": stale,
+                 "stale_note": ("values measured by a PREVIOUS bench run "
+                                "(line skipped this run under the wall "
+                                "budget; refreshed on the alternate "
+                                "rotation)")},
                 indent=1,
             )
         )
@@ -705,46 +735,46 @@ def main(M=1024, BATCH=None, REPS=8):
         lambda: _time_forward(twostage_conf, adaptive_params,
                               twostage_inputs, twostage_batch, reps=REPS),
     )
+    def _run_agreement():
+        ka = _kernel_agreement()
+        (REPO / "benchmarks").mkdir(exist_ok=True)
+        (REPO / "benchmarks" / "kernel_agreement.json").write_text(
+            json.dumps(ka, indent=1)
+        )
+        return 1.0  # sentinel: presence of this line = artifact refreshed
+
+    e2e_tasks = []
     for ex, eb in (
         ("superpoint", 8), ("aliked", 8), ("disk", 8),
         ("sift", 2), ("doghardnet", 2),  # SIFT scale space is heavy
     ):
         tag = "bf16" if ex in ("superpoint", "aliked", "disk") else "fp32"
-        run_line(
+        e2e_tasks.append((
             f"end-to-end {ex}({tag}) x2 + match B{eb}",
             lambda ex=ex, eb=eb: _end_to_end_pairs_per_sec(
                 ex, batch=eb, trained=trained, reps=2 if eb == 2 else 4),
-            est=90.0 if ex in ("sift", "doghardnet") else 60.0,
+            90.0 if ex in ("sift", "doghardnet") else 60.0,
+        ))
+    seq_tasks = [
+        (key,
+         lambda ex=ex, win=win: _sequence_pairs_per_sec(
+             trained=trained, window=win, extractor=ex),
+         60.0)
+        for ex, win, key in (
+            ("superpoint", 1, "sequence e2e superpoint (extract-once, "
+                              "B16 imgs)"),
+            ("superpoint", 4, "sequence e2e superpoint (extract-once, B16 "
+                              "imgs, window 4 — hloc sequential pairing)"),
+            ("disk", 4, "sequence e2e disk (extract-once, B16 imgs, "
+                        "window 4)"),
+            ("aliked", 4, "sequence e2e aliked (extract-once, B16 imgs, "
+                          "window 4)"),
         )
-    for ex, win, key in (
-        ("superpoint", 1, "sequence e2e superpoint (extract-once, "
-                          "B16 imgs)"),
-        ("superpoint", 4, "sequence e2e superpoint (extract-once, B16 "
-                          "imgs, window 4 — hloc sequential pairing)"),
-        ("disk", 4, "sequence e2e disk (extract-once, B16 imgs, "
-                    "window 4)"),
-        ("aliked", 4, "sequence e2e aliked (extract-once, B16 imgs, "
-                      "window 4)"),
-    ):
-        run_line(
-            key,
-            lambda ex=ex, win=win: _sequence_pairs_per_sec(
-                trained=trained, window=win, extractor=ex),
-        )
+    ] + [("kernel_agreement refreshed", _run_agreement, 60.0)]
 
-    if left() >= 60.0:
-        try:
-            ka = _kernel_agreement()
-            (REPO / "benchmarks").mkdir(exist_ok=True)
-            (REPO / "benchmarks" / "kernel_agreement.json").write_text(
-                json.dumps(ka, indent=1)
-            )
-        except Exception as e:
-            detail["kernel_agreement"] = f"FAIL {e}"[:200]
-        dog.beat()
-    else:
-        print(f"[bench] skip kernel_agreement: {left():.0f}s left",
-              file=sys.stderr, flush=True)
+    groups = [seq_tasks, e2e_tasks] if rot == 0 else [e2e_tasks, seq_tasks]
+    for key, fn, est in groups[0] + groups[1]:
+        run_line(key, fn, est=est)
     flush_detail()
     dog.done = True
 
