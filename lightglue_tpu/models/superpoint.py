@@ -89,24 +89,39 @@ def dense_forward(
 
     from . import lightglue as _lg  # _on_tpu, no cycle at import time
     from ..ops import stem as _stem
+    from ..ops import stem2 as _stem2
 
-    if fused_stem and _lg._on_tpu() and _stem.stem_pallas_ok(*image.shape[1:3]):
+    h, w = image.shape[1:3]
+    use_stem = fused_stem and _lg._on_tpu() and _stem.stem_pallas_ok(h, w)
+    use_block2 = use_stem and _stem2.block2_pallas_ok(h, w)
+    if use_stem:
         # Fused conv1a+conv1b+pool1 Pallas strip kernel: the full-res
         # stretch is 1.61 of 2.59 ms/img composed from XLA convs; the
         # kernel does it in 0.83 ms (B8 768x1024 bf16, v5e) and unlike
         # the ALIKED score-head case (aliked.py:222) its NHWC output
-        # needs no relayout, so the win survives composition.
+        # needs no relayout, so the win survives composition. When the
+        # block-2 kernel can also engage, the stem emits channel-plane
+        # layout directly (no NHWC transpose between the two kernels).
         x = _stem.fused_stem_pallas(
             {"conv1a": params["conv1a"], "conv1b": params["conv1b"]},
             image, mp=mp,
+            out_layout="cplane" if use_block2 else "nhwc",
         )
     else:
         x = cbr("conv1a", x)
         x = cbr("conv1b", x)
         x = nn.max_pool(x, 2)
-    x = cbr("conv2a", x)
-    x = cbr("conv2b", x)
-    x = nn.max_pool(x, 2)
+    if use_block2:
+        # Fused conv2a+conv2b+pool2 at H/2 (ops/stem2.py): the remaining
+        # full-ish-res stretch of the encoder, same strip-kernel design.
+        x = _stem2.fused_block2_pallas(
+            {"conv2a": params["conv2a"], "conv2b": params["conv2b"]},
+            x, h2=h // 2, w2=w // 2, mp=mp,
+        )
+    else:
+        x = cbr("conv2a", x)
+        x = cbr("conv2b", x)
+        x = nn.max_pool(x, 2)
     x = cbr("conv3a", x)
     x = cbr("conv3b", x)
     x = nn.max_pool(x, 2)

@@ -27,13 +27,25 @@ def _bilinear_gather(x: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray):
     per sample, each only C lanes wide). Instead, precompute a corner-quad
     table T[y, x] = [x(y,x), x(y,x+1), x(y+1,x), x(y+1,x+1)] over a
     zero-padded grid, so ONE 4C-wide (full-lane) gather fetches all four
-    bilinear corners. Far-outside samples are zeroed through the weights
-    (the clipped table row is wrong there, but its weight is exactly 0);
-    the +-1 ring is zeroed by the table's zero padding itself.
+    bilinear corners.
+
+    Outside-the-image zeroing happens by CLAMPING the sample coordinate
+    into [-1, size] before the floor/weight split instead of torchvision's
+    per-corner validity masks: for coords already in [-1, size] the clamp
+    is the identity (bitwise-identical weights); past it, every corner the
+    clamped sample touches lies in the table's zero-pad ring, so the
+    result is the same exact 0 the mask form produces — while the 8
+    comparisons + 4 mask multiplies per sample disappear. Under bf16
+    inputs the 4-corner combine runs in bf16 (corner weights are computed
+    in fp32 and rounded once); in fp32 it is unchanged.
     """
     b, h, w, c = x.shape
-    y0 = jnp.floor(fy)
-    x0 = jnp.floor(fx)
+    fy = jnp.clip(fy, -1.0, float(h))
+    fx = jnp.clip(fx, -1.0, float(w))
+    # floor(size) == size after the clamp; pull it back so wy/wx stay in
+    # [0, 1] and the base corner stays inside the table range [-1, size-1]
+    y0 = jnp.minimum(jnp.floor(fy), h - 1.0)
+    x0 = jnp.minimum(jnp.floor(fx), w - 1.0)
     wy = (fy - y0)[..., None]
     wx = (fx - x0)[..., None]
 
@@ -49,20 +61,18 @@ def _bilinear_gather(x: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray):
         axis=-1,
     ).reshape(b, hp * wp, 4 * c)
 
-    yc = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
-    xc = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
-    idx = (yc * wp + xc).reshape(b, -1)
-    g = jnp.take_along_axis(quad, idx[..., None], axis=1)
+    idx = (y0.astype(jnp.int32) + 1) * wp + (x0.astype(jnp.int32) + 1)
+    g = jnp.take_along_axis(quad, idx.reshape(b, -1)[..., None], axis=1)
     g = g.reshape(*y0.shape, 4, c)
 
-    def inside(yi, xi):
-        ok = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-        return ok[..., None].astype(x.dtype)
-
-    w00 = (1 - wy) * (1 - wx) * inside(y0, x0)
-    w01 = (1 - wy) * wx * inside(y0, x0 + 1)
-    w10 = wy * (1 - wx) * inside(y0 + 1, x0)
-    w11 = wy * wx * inside(y0 + 1, x0 + 1)
+    w00 = (1 - wy) * (1 - wx)
+    w01 = (1 - wy) * wx
+    w10 = wy * (1 - wx)
+    w11 = wy * wx
+    if x.dtype == jnp.bfloat16:
+        w00, w01, w10, w11 = (
+            t.astype(jnp.bfloat16) for t in (w00, w01, w10, w11)
+        )
     return (
         g[..., 0, :] * w00
         + g[..., 1, :] * w01

@@ -79,7 +79,7 @@ def _stem_kernel(
     out_ref,
     a1, strip, sem,
     *,
-    th: int, h: int, w: int, mp: bool, interp: bool,
+    th: int, h: int, w: int, mp: bool, interp: bool, cplane: bool = False,
 ):
     i = pl.program_id(1)
     f32 = jnp.float32
@@ -149,23 +149,34 @@ def _stem_kernel(
         # rejects p[:, 0::2] (gather) but takes this reshape, and the
         # transpose is needed for the NHWC output write anyway.
         pt = p.T.reshape(wp // 2, 2, 64)
-        out_ref[0, t2i] = jnp.max(pt, axis=1).astype(out_ref.dtype)
+        pooled = jnp.max(pt, axis=1)  # (wp/2, 64)
+        if cplane:
+            # channel-plane output (C on sublanes, W on lanes): feeds the
+            # block-2 kernel (ops/stem2.py) without any NHWC relayout
+            out_ref[0, t2i] = pooled.T.astype(out_ref.dtype)
+        else:
+            out_ref[0, t2i] = pooled.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("mp", "tile_rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("mp", "tile_rows", "interpret", "out_layout")
+)
 def fused_stem_pallas(
     params: dict,
     image: jnp.ndarray,
     mp: bool = True,
     tile_rows: int = 16,
     interpret: bool = False,
+    out_layout: str = "nhwc",
 ) -> jnp.ndarray:
     """conv1a/conv1b/pool1 of the SuperPoint encoder in one Pallas pass.
 
     params: {"conv1a": {w (3,3,1,64), b (64,)}, "conv1b": {w (3,3,64,64),
     b (64,)}} (models/superpoint.init_params). image: (B, H, W, 1) fp32,
     H and W even. Returns (B, H//2, W//2, 64) in the XLA path's working
-    dtype (bfloat16 under mp).
+    dtype (bfloat16 under mp); with ``out_layout="cplane"`` the channel
+    axis moves to sublanes — (B, H//2, 64, W//2) — the layout the block-2
+    kernel (ops/stem2.py::fused_block2_pallas) consumes directly.
     """
     b, h, w, c = image.shape
     assert c == 1 and h % 2 == 0 and w % 2 == 0
@@ -188,12 +199,21 @@ def fused_stem_pallas(
     wcat = params["conv1b"]["w"].transpose(0, 2, 1, 3).reshape(192, 192)
     b1b = params["conv1b"]["b"].reshape(64, 1)
 
+    cplane = out_layout == "cplane"
     kern = functools.partial(
-        _stem_kernel, th=th, h=h, w=w, mp=mp, interp=interpret
+        _stem_kernel, th=th, h=h, w=w, mp=mp, interp=interpret,
+        cplane=cplane,
     )
     whole = lambda a: pl.BlockSpec(
         a.shape, lambda bb, ii: tuple(0 for _ in a.shape),
         memory_space=pltpu.VMEM,
+    )
+    out_shape = (
+        (b, n_h * th // 2, 64, wp // 2) if cplane
+        else (b, n_h * th // 2, wp // 2, 64)
+    )
+    out_block = (
+        (1, th // 2, 64, wp // 2) if cplane else (1, th // 2, wp // 2, 64)
     )
     out = pl.pallas_call(
         kern,
@@ -202,12 +222,8 @@ def fused_stem_pallas(
             whole(w1a), whole(b1a), whole(wcat), whole(b1b),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_shape=jax.ShapeDtypeStruct(
-            (b, n_h * th // 2, wp // 2, 64), dt
-        ),
-        out_specs=pl.BlockSpec(
-            (1, th // 2, wp // 2, 64), lambda bb, ii: (bb, ii, 0, 0)
-        ),
+        out_shape=jax.ShapeDtypeStruct(out_shape, dt),
+        out_specs=pl.BlockSpec(out_block, lambda bb, ii: (bb, ii, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((th + 2, 64, wp), dt),    # conv1a planes (C-major)
             pltpu.VMEM((strip_rows, wp), dt),  # image strip
@@ -215,6 +231,8 @@ def fused_stem_pallas(
         ],
         interpret=interpret,
     )(w1a, b1a, wcat, b1b, img)
+    if cplane:
+        return out[:, : h // 2, :, : w // 2]
     return out[:, : h // 2, : w // 2]
 
 
