@@ -361,6 +361,28 @@ def make_train_step(conf: LightGlueConfig, optimizer):
     return step
 
 
+def make_feed_train_step(conf: LightGlueConfig, optimizer):
+    """Build a jitted (params, opt_state, data) -> (params, opt_state, aux)
+    step on a CALLER-PROVIDED batch (same deep-supervised loss as the
+    synthetic step). Used for real-image self-supervision
+    (scripts/train_real.py): batches come from homography-warped crops of
+    real images with host-extracted features, so the sampling cannot live
+    inside the jit."""
+
+    @jax.jit
+    def step(params, opt_state, data: SyntheticBatch):
+        (loss, aux), grads = jax.value_and_grad(matcher_loss, has_aux=True)(
+            params, conf, data
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: (p + u).astype(p.dtype), params, updates
+        )
+        return params, opt_state, {"loss": loss, **aux}
+
+    return step
+
+
 def train_synthetic(
     conf: Optional[LightGlueConfig] = None,
     steps: int = 1500,

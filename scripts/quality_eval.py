@@ -13,10 +13,12 @@ matcher moves a tracked metric (VERDICT r3 item 5):
 * ``opencv_sift+mutual_nn`` — same protocol through the OpenCV backend
   (reference sift.py:128-133): the cross-backend delta isolates JAX-SIFT
   regressions from matcher/protocol changes.
-* ``superpoint_random+trained_matcher`` — random-weight SuperPoint
-  keypoints + the synthetic-trained matcher checkpoint: a matcher-in-
-  the-loop proxy (absolute numbers are weak by construction; the metric
-  exists to move when the matcher path breaks).
+* ``opencv_sift+trained_matcher`` — OpenCV SIFT features (real
+  descriptors, reference-exact backend) through the sift-trained
+  matcher: matcher-in-the-loop on honest inputs. (Replaces the former
+  ``superpoint_random+trained_matcher`` rows, which fed the matcher
+  random-weight descriptors — noise in, zero matches out, measuring
+  nothing; VERDICT r4 weak #5.)
 
 Usage: python scripts/quality_eval.py [--max-kpts 2048] [--no-write]
 """
@@ -153,22 +155,22 @@ def main():
     sift_cv = pl.SIFT(max_num_keypoints=args.max_kpts, backend="opencv")
     run("opencv_sift+mutual_nn", lambda a, b: eval_mutual_nn(sift_cv, a, b))
 
-    ckpt_sift = REPO / "weights" / "synthetic_sift_lightglue.npz"
-    if ckpt_sift.exists():
+    # sift-trained matcher: prefer the real-image-finetuned checkpoint
+    # (scripts/train_real.py) over the purely synthetic one
+    ckpt_sift = None
+    for name in ("real_sift_lightglue.npz", "synthetic_sift_lightglue.npz"):
+        if (REPO / "weights" / name).exists():
+            ckpt_sift = REPO / "weights" / name
+            break
+    if ckpt_sift is not None:
         matcher_s = pl.LightGlue(
             "sift", params=W.load_params(ckpt_sift, dtype=np.float32)
         )
+        print(f"sift matcher checkpoint: {ckpt_sift.name}", flush=True)
         run("jax_sift+trained_matcher",
             lambda a, b: eval_matcher(sift_jax, matcher_s, a, b))
-
-    ckpt = REPO / "weights" / "synthetic_superpoint_lightglue.npz"
-    if ckpt.exists():
-        sp = pl.SuperPoint(max_num_keypoints=args.max_kpts)
-        matcher = pl.LightGlue(
-            "superpoint", params=W.load_params(ckpt, dtype=np.float32)
-        )
-        run("superpoint_random+trained_matcher",
-            lambda a, b: eval_matcher(sp, matcher, a, b))
+        run("opencv_sift+trained_matcher",
+            lambda a, b: eval_matcher(sift_cv, matcher_s, a, b))
 
     if not args.no_write:
         (REPO / "benchmarks").mkdir(exist_ok=True)
