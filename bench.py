@@ -565,6 +565,47 @@ def _kernel_agreement(m=512, n=512, b=2, seed=0):
 
     g_st, r_st = _stem_pair(img)
     out["fused_stem_vs_xla_bf16"] = maxdiff(g_st, r_st)
+
+    # SuperPoint fused block-2 (ops/stem2.py), chained off the cplane stem
+    from lightglue_tpu.ops import stem2 as _stem2
+
+    b2_p = {"conv2a": sp_params["conv2a"], "conv2b": sp_params["conv2b"]}
+
+    @jax.jit
+    def _block2_pair(im):
+        cp = _stem.fused_stem_pallas(stem_p, im, mp=True, out_layout="cplane")
+        got = _stem2.fused_block2_pallas(
+            b2_p, cp, h2=im.shape[1] // 2, w2=im.shape[2] // 2, mp=True
+        )
+        x = im.astype(jnp.bfloat16)
+        x = jax.nn.relu(_nn.conv2d(stem_p["conv1a"], x))
+        x = jax.nn.relu(_nn.conv2d(stem_p["conv1b"], x))
+        x = _nn.max_pool(x, 2)
+        x = jax.nn.relu(_nn.conv2d(b2_p["conv2a"], x))
+        x = jax.nn.relu(_nn.conv2d(b2_p["conv2b"], x))
+        return got.astype(jnp.float32), _nn.max_pool(x, 2).astype(jnp.float32)
+
+    g_b2, r_b2 = _block2_pair(img)
+    out["fused_block2_vs_xla_bf16"] = maxdiff(g_b2, r_b2)
+
+    # ALIKED fused score head (cplane path) vs the XLA tapmat tail, in
+    # full extract_dense_map composition (engages on TPU only)
+    from lightglue_tpu.configs import ALIKEDConfig
+    from lightglue_tpu.models import aliked as _ak
+
+    ak_params = _ak.init_params(jax.random.key(8), ALIKEDConfig())
+    ak_img = jnp.asarray(
+        rng.uniform(0, 1, (2, 96, 128, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    @jax.jit
+    def _score_pair(im):
+        _, sm_fused = _ak._dense_raw(ak_params, im, fused_score=True)
+        _, sm_xla = _ak._dense_raw(ak_params, im, fused_score=False)
+        return sm_fused, sm_xla
+
+    g_sc, r_sc = _score_pair(ak_img)
+    out["aliked_fused_score_vs_xla_bf16"] = maxdiff(g_sc, r_sc)
     return out
 
 

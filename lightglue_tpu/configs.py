@@ -193,6 +193,11 @@ class ALIKEDConfig:
     approx_topk: float = 0.0  # see SuperPointConfig.approx_topk
     twolevel_topk: bool = False  # see SuperPointConfig.twolevel_topk
     mp: bool = False  # bfloat16 encoder/aggregation (fp32 score/desc norm)
+    # off switch for the fused Pallas score-head tail (ops/score_head.py;
+    # engages on TPU only): under mp its scores differ from the XLA tapmat
+    # tail by ~1e-2 (fp32 accumulation vs bf16 tap partials), which can
+    # flip NMS ties near the detection threshold
+    fused_score_head: bool = True
 
     def replace(self, **kw) -> "ALIKEDConfig":
         return dataclasses.replace(self, **kw)

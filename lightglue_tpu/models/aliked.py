@@ -130,10 +130,22 @@ def _res_block(p, x, deform: bool):
         if deform
         else (lambda q, y: nn.conv2d_im2col(q, y))
     )
-    out = selu(nn.batch_norm(p["bn1"], conv(p["conv1"], x)))
-    out = nn.batch_norm(p["bn2"], conv(p["conv2"], out))
-    identity = nn.conv2d(p["downsample"], x)
-    return selu(out + identity)
+
+    def one(xi):
+        out = selu(nn.batch_norm(p["bn1"], conv(p["conv1"], xi)))
+        out = nn.batch_norm(p["bn2"], conv(p["conv2"], out))
+        identity = nn.conv2d(p["downsample"], xi)
+        return selu(out + identity)
+
+    # Deform blocks scale BADLY with batch on TPU: the whole-block cost is
+    # 1.6 ms/img at B1 but 3.4 ms/img at B8 (XLA picks worse gather /
+    # fusion strategies as soon as B>1; scripts/micro_deform_ab.py).
+    # lax.map over the batch keeps every image at the B1 rate — 26.9 ->
+    # 13.0 ms for block3 at B8 — and each per-image program is already
+    # large enough to fill the chip.
+    if deform and x.shape[0] > 1 and x.shape[1] * x.shape[2] >= 64 * 64:
+        return jax.lax.map(lambda xi: one(xi[None])[0], x)
+    return one(x)
 
 
 def _avg_pool(x, k):
@@ -169,17 +181,17 @@ def _upsample(x, factor):
 
 
 def extract_dense_map(
-    params: nn.Params, image: jnp.ndarray
+    params: nn.Params, image: jnp.ndarray, fused_score: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, H, W, 3) -> (feature_map (B,H,W,dim) L2-normalized,
     score_map (B,H,W)) (reference aliked.py:709-740). H, W must be
     multiples of 32."""
-    fm, sm = _dense_raw(params, image)
+    fm, sm = _dense_raw(params, image, fused_score=fused_score)
     return nn.l2_normalize(fm, axis=-1), sm
 
 
 def _dense_raw(
-    params: nn.Params, image: jnp.ndarray
+    params: nn.Params, image: jnp.ndarray, fused_score: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense features WITHOUT the final L2 normalization. ``forward`` uses
     this and normalizes per gathered row inside SDDH instead — a lerp of
@@ -204,6 +216,45 @@ def _dense_raw(
     # W0 at its branch's NATIVE resolution and upsample the 8-ch partial
     # sums instead of re-reading the 128-ch full-res concat. Exact.
     w0 = sh["0"]["w"][0, 0]  # (dim, 8), no bias in the reference head
+    from . import lightglue as _lg  # _on_tpu; no cycle at import time
+    from ..ops import score_head as _score
+
+    h, w = x1.shape[1:3]
+    use_cplane = (
+        fused_score and _lg._on_tpu() and _score.score_head_cplane_ok(h, w)
+    )
+    if use_cplane:
+        # Channel-plane scoring path: build the 8-ch partial sums directly
+        # in (B, 8, H, W) via einsum OUTPUT ordering — the layout the fused
+        # tail kernel consumes — so only the tiny 8-ch score tensors ever
+        # change layout; the shared aggregation chain that also feeds the
+        # feature map stays NHWC (the round-4 wiring transposed the NHWC
+        # s0 buffer instead, which poisoned layout assignment for that
+        # shared chain: extract_dense_map 6.8 -> 24-28 ms/img).
+        c = x1.shape[-1]
+        s0c = jnp.einsum(
+            "bhwc,cs->bshw", x1, w0[:c].astype(x1.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        for xi, up in ((x2, 2), (x3, 8), (x4, 32)):
+            si = jnp.einsum(
+                "bhwc,cs->bshw", xi,
+                w0[c : c + xi.shape[-1]].astype(xi.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(xi.dtype)
+            c += xi.shape[-1]
+            hi, wi = si.shape[2:]
+            ly = _lerp_matrix(hi * up, hi).astype(si.dtype)
+            lx = _lerp_matrix(wi * up, wi).astype(si.dtype)
+            si = jnp.einsum("oh,bshw->bsow", ly, si)
+            si = jnp.einsum("ow,bshw->bsho", lx, si)
+            s0c = s0c + si.astype(jnp.float32)
+        if "b" in sh["0"]:
+            s0c = s0c + sh["0"]["b"].astype(jnp.float32).reshape(8, 1, 1)
+        score_map = _score.score_head_pallas_cplane(
+            sh, s0c, mp=x1.dtype == jnp.bfloat16
+        )
+        return x1234, score_map
     c = x1.shape[-1]
     s0 = jax.lax.dot_general(
         x1, w0[:c].astype(x1.dtype), (((3,), (0,)), ((), ())),
@@ -219,17 +270,9 @@ def _dense_raw(
         s0 = s0 + _upsample(si, up).astype(jnp.float32)
     if "b" in sh["0"]:
         s0 = s0 + sh["0"]["b"].astype(jnp.float32)
-    # Score-head tail: the fused Pallas strip kernel (ops/score_head.py)
-    # wins in ISOLATION (0.44 ms vs 2.11 for lane-starved XLA convs) but
-    # LOSES in full composition on v5e: the CHW transpose it needs poisons
-    # XLA's layout assignment for the shared aggregation chain
-    # (extract_dense_map 6.8 -> 24-28 ms/img, barrier does not help), while
-    # the tap-matmul tail fuses into the aggregation for +0.3 ms marginal.
-    # Keep the XLA tap-matmul path as the default everywhere; the kernel
-    # stays available (ops.score_head.score_head_pallas) with exactness
-    # tests for a future standalone-score-map use case.
-    # tiny-cout 3x3 convs: tap-matmul keeps the 9*cout<=36 partial products
-    # in one lane tile instead of a lane-starved conv (see nn.conv2d_tapmat)
+    # XLA score tail (fallback + CPU): tiny-cout 3x3 convs as tap-matmuls —
+    # 9*cout<=36 partial products stay in one lane tile instead of a
+    # lane-starved conv (see nn.conv2d_tapmat).
     s = selu(s0.astype(x1.dtype))
     s = selu(nn.conv2d_tapmat(sh["2"], s))
     s = selu(nn.conv2d_tapmat(sh["4"], s))
@@ -417,7 +460,9 @@ def forward(
         image = jnp.repeat(image, 3, axis=-1)
     if conf.mp:
         image = image.astype(jnp.bfloat16)
-    feature_map, score_map = _dense_raw(params, image)
+    feature_map, score_map = _dense_raw(
+        params, image, fused_score=conf.fused_score_head
+    )
     # materialize the dense maps ONCE: without this barrier XLA duplicates
     # the aggregation chain into each gather consumer (score lookup, SDDH
     # patches, offset samples) — measured +5.6 ms at 1024x768

@@ -35,9 +35,11 @@ def _bilinear_gather(x: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray):
     is the identity (bitwise-identical weights); past it, every corner the
     clamped sample touches lies in the table's zero-pad ring, so the
     result is the same exact 0 the mask form produces — while the 8
-    comparisons + 4 mask multiplies per sample disappear. Under bf16
-    inputs the 4-corner combine runs in bf16 (corner weights are computed
-    in fp32 and rounded once); in fp32 it is unchanged.
+    comparisons + 4 mask multiplies per sample disappear (measured
+    block3: 1.66 -> 1.36 ms/img, v5e bf16 B1). The 4-corner combine
+    stays fp32 even for bf16 inputs: an all-bf16 combine measured 2.1x
+    SLOWER (3.5 ms — 16-bit packing overhead dominates the VPU chain;
+    scripts/micro_deform_ab.py).
     """
     b, h, w, c = x.shape
     fy = jnp.clip(fy, -1.0, float(h))
@@ -69,10 +71,6 @@ def _bilinear_gather(x: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray):
     w01 = (1 - wy) * wx
     w10 = wy * (1 - wx)
     w11 = wy * wx
-    if x.dtype == jnp.bfloat16:
-        w00, w01, w10, w11 = (
-            t.astype(jnp.bfloat16) for t in (w00, w01, w10, w11)
-        )
     return (
         g[..., 0, :] * w00
         + g[..., 1, :] * w01

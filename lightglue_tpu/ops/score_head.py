@@ -153,17 +153,44 @@ def score_head_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """s0: (B, H, W, 8) fp32 pre-activation of the folded 1x1 stage.
-    Returns the sigmoid score map (B, H, W) fp32."""
-    b, h, w, c = s0.shape
+    Returns the sigmoid score map (B, H, W) fp32.
+
+    NHWC convenience wrapper: pays the CHW operand transpose that loses in
+    composition (see STATUS above). The composition-safe entry point is
+    ``score_head_pallas_cplane``, fed by channel-plane branch partials."""
+    return score_head_pallas_cplane(
+        sh_params, s0.astype(jnp.float32).transpose(0, 3, 1, 2),
+        mp=mp, tile_rows=tile_rows, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mp", "tile_rows", "interpret")
+)
+def score_head_pallas_cplane(
+    sh_params,
+    s0c: jnp.ndarray,
+    mp: bool = True,
+    tile_rows: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Channel-plane entry point: s0c is (B, 8, H, W) fp32 — the layout the
+    kernel consumes directly, so composition never pays a full-res NHWC
+    transpose (models/aliked.py builds the 1x1-stage partial sums in this
+    layout via einsum output ordering). Returns (B, H, W) fp32 scores."""
+    b, c, h, w = s0c.shape
     assert c == 8
     th = min(tile_rows, max(8, -(-h // 8) * 8))
     n_h = -(-h // th)
     wp = -(-w // 128) * 128
+    if wp > 1024:  # keep the fp32 strip scratch within VMEM at wide W
+        th = min(th, 64)
+        n_h = -(-h // th)
     hp = n_h * th + 2 * HALO
     x = jnp.pad(
-        s0.astype(jnp.float32),
-        ((0, 0), (HALO, hp - h - HALO), (0, wp - w), (0, 0)),
-    ).transpose(0, 3, 1, 2)  # (B, 8, Hp, Wp) — W on lanes, H on sublanes
+        s0c.astype(jnp.float32),
+        ((0, 0), (0, 0), (HALO, hp - h - HALO), (0, wp - w)),
+    )
     wflat = _pack_weights(sh_params, mp)
     kern = functools.partial(_score_head_kernel, th=th, mp=mp, h=h, w=w)
     out = pl.pallas_call(
@@ -182,3 +209,9 @@ def score_head_pallas(
         interpret=interpret,
     )(wflat, x)
     return out[:, :h, :w]
+
+
+def score_head_cplane_ok(h: int, w: int) -> bool:
+    """Gate for the composed cplane path: the strip scratch is
+    8*(th+16)*Wp fp32 — W <= 2048 keeps it under ~5.3 MB at th=64."""
+    return 128 <= w <= 2048 and h >= 32

@@ -58,6 +58,33 @@ def test_mp_no_worse_than_xla_mp():
     assert np.abs(got - truth).mean() <= np.abs(xla_mp - truth).mean() * 1.05
 
 
+def test_cplane_agreement_fp32():
+    """The composition-safe channel-plane entry point (consumes (B,8,H,W)
+    partial sums built by models/aliked._dense_raw's einsum ordering)."""
+    from lightglue_tpu.ops.score_head import score_head_pallas_cplane
+
+    sh = _params(jax.random.key(4))
+    rng = np.random.default_rng(5)
+    s0 = jnp.asarray(rng.standard_normal((2, 96, 128, 8)).astype(np.float32))
+    ref = np.asarray(_xla_tail(sh, s0, False))
+    got = np.asarray(
+        score_head_pallas_cplane(
+            sh, s0.transpose(0, 3, 1, 2), mp=False, tile_rows=32,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
+
+
+def test_cplane_gate():
+    from lightglue_tpu.ops.score_head import score_head_cplane_ok
+
+    assert score_head_cplane_ok(768, 1024)
+    assert score_head_cplane_ok(96, 128)
+    assert not score_head_cplane_ok(768, 4096)  # strip scratch > VMEM gate
+    assert not score_head_cplane_ok(16, 1024)
+
+
 def test_agreement_unaligned_width():
     sh = _params(jax.random.key(2))
     rng = np.random.default_rng(3)
