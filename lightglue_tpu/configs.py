@@ -193,11 +193,21 @@ class ALIKEDConfig:
     approx_topk: float = 0.0  # see SuperPointConfig.approx_topk
     twolevel_topk: bool = False  # see SuperPointConfig.twolevel_topk
     mp: bool = False  # bfloat16 encoder/aggregation (fp32 score/desc norm)
-    # off switch for the fused Pallas score-head tail (ops/score_head.py;
-    # engages on TPU only): under mp its scores differ from the XLA tapmat
-    # tail by ~1e-2 (fp32 accumulation vs bf16 tap partials), which can
-    # flip NMS ties near the detection threshold
-    fused_score_head: bool = True
+    # Fused Pallas score-head tail (ops/score_head.py; engages on TPU in
+    # the lazy_fm path only): OFF by default — measured neutral-to-slightly
+    # -worse in the per-image lazy composition (10.14 vs 10.24 ms full
+    # forward), and under mp its scores differ from the XLA tapmat tail by
+    # ~1e-2, which can flip NMS ties near the detection threshold
+    fused_score_head: bool = False
+    # lazy feature map: SDDH evaluates the rows it needs from the branch
+    # maps instead of materializing the full-res 128-ch concat (exact at
+    # fp32; bf16 deltas are lerp rounding order only). Off switch restores
+    # the dense reference dataflow (aliked.py:735)
+    lazy_fm: bool = True
+    # off switch for the fused block-1 Pallas kernel (ops/aliked_stem.py;
+    # TPU + lazy_fm path only): bf16 deltas vs the XLA ConvBlock are the
+    # same dx-split-partials envelope as the SuperPoint stem kernel
+    fused_stem: bool = True
 
     def replace(self, **kw) -> "ALIKEDConfig":
         return dataclasses.replace(self, **kw)

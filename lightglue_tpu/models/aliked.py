@@ -181,7 +181,7 @@ def _upsample(x, factor):
 
 
 def extract_dense_map(
-    params: nn.Params, image: jnp.ndarray, fused_score: bool = True
+    params: nn.Params, image: jnp.ndarray, fused_score: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, H, W, 3) -> (feature_map (B,H,W,dim) L2-normalized,
     score_map (B,H,W)) (reference aliked.py:709-740). H, W must be
@@ -191,7 +191,7 @@ def extract_dense_map(
 
 
 def _dense_raw(
-    params: nn.Params, image: jnp.ndarray, fused_score: bool = True
+    params: nn.Params, image: jnp.ndarray, fused_score: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense features WITHOUT the final L2 normalization. ``forward`` uses
     this and normalizes per gathered row inside SDDH instead — a lerp of
@@ -370,6 +370,151 @@ def dkd_detect(
 
 
 # ---------------------------------------------------------------------------
+# Lazy feature-map evaluation (branch maps instead of the dense concat)
+# ---------------------------------------------------------------------------
+
+
+def _dense_branches(
+    params: nn.Params, image: jnp.ndarray, fused_score: bool = True,
+    fused_stem: bool = True,
+):
+    """Encoder + aggregation WITHOUT materializing the full-resolution
+    feature map: returns ((y1, y2, y3, y4), score_map) where fm ==
+    concat([y1, up2(y2), up8(y3), up32(y4)]) is never built. Building fm
+    costs ~24 ms at B8 1024x768 (up8/up32 intermediates + the 192 MB/img
+    concat are pure HBM traffic); SDDH only ever reads ~25 positions per
+    keypoint, so ``_fm_rows_lazy`` evaluates those rows from the branch
+    maps directly."""
+    from . import lightglue as _lg
+    from ..ops import aliked_stem as _astem
+
+    h, w = image.shape[1:3]
+    if (
+        fused_stem and _lg._on_tpu() and _astem.aliked_stem_ok(h, w)
+        and params["conv1"]["w"].shape[2] == 16
+    ):
+        # block1 + its consumers in one Pallas pass (full-res x1 never
+        # hits HBM; composed XLA block1 alone is 1.91 ms/img at B8)
+        y1, x1p = _astem.fused_aliked_stem(
+            {"block1": params["block1"], "conv1": params["conv1"]},
+            image, mp=image.dtype == jnp.bfloat16,
+        )
+        x2 = _res_block(params["block2"], x1p, False)
+    else:
+        x1 = _conv_block(params["block1"], image)
+        y1 = selu(nn.conv2d(params["conv1"], x1))
+        x2 = _res_block(params["block2"], _avg_pool(x1, 2), False)
+    x3 = _res_block(params["block3"], _avg_pool(x2, 4), True)
+    x4 = _res_block(params["block4"], _avg_pool(x3, 4), True)
+    y2 = selu(nn.conv2d(params["conv2"], x2))
+    y3 = selu(nn.conv2d(params["conv3"], x3))
+    y4 = selu(nn.conv2d(params["conv4"], x4))
+
+    sh = params["score_head"]
+    w0 = sh["0"]["w"][0, 0]
+    from ..ops import score_head as _score
+    use_cplane = (
+        fused_score and _lg._on_tpu() and _score.score_head_cplane_ok(h, w)
+    )
+    if use_cplane:
+        c = 0
+        s0c = None
+        for xi, up in ((y1, 1), (y2, 2), (y3, 8), (y4, 32)):
+            si = jnp.einsum(
+                "bhwc,cs->bshw", xi,
+                w0[c : c + xi.shape[-1]].astype(xi.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            c += xi.shape[-1]
+            if up > 1:
+                si = si.astype(xi.dtype)
+                hi, wi = si.shape[2:]
+                ly = _lerp_matrix(hi * up, hi).astype(si.dtype)
+                lx = _lerp_matrix(wi * up, wi).astype(si.dtype)
+                si = jnp.einsum("oh,bshw->bsow", ly, si)
+                si = jnp.einsum("ow,bshw->bsho", lx, si).astype(jnp.float32)
+            s0c = si if s0c is None else s0c + si
+        if "b" in sh["0"]:
+            s0c = s0c + sh["0"]["b"].astype(jnp.float32).reshape(8, 1, 1)
+        score_map = _score.score_head_pallas_cplane(
+            sh, s0c, mp=y1.dtype == jnp.bfloat16
+        )
+        return (y1, y2, y3, y4), score_map
+
+    c = 0
+    s0 = None
+    for xi, up in ((y1, 1), (y2, 2), (y3, 8), (y4, 32)):
+        si = jax.lax.dot_general(
+            xi, w0[c : c + xi.shape[-1]].astype(xi.dtype),
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        c += xi.shape[-1]
+        if up > 1:
+            si = _upsample(si.astype(xi.dtype), up).astype(jnp.float32)
+        s0 = si if s0 is None else s0 + si
+    if "b" in sh["0"]:
+        s0 = s0 + sh["0"]["b"].astype(jnp.float32)
+    s = selu(s0.astype(y1.dtype))
+    s = selu(nn.conv2d_tapmat(sh["2"], s))
+    s = selu(nn.conv2d_tapmat(sh["4"], s))
+    s = nn.conv2d_tapmat(sh["6"], s)
+    score_map = jax.nn.sigmoid(s.astype(jnp.float32))[..., 0]
+    return (y1, y2, y3, y4), score_map
+
+
+def _branch_rows(yk: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray):
+    """Bilinear values of branch map yk (B, hk, wk, c) at fractional
+    coordinates (B, S) guaranteed inside [0, hk-1] x [0, wk-1]. Matches
+    ``_upsample``'s lerp order (rows first, then columns, with a working-
+    dtype round between) so lazy == dense bit-for-bit at fp32 and to the
+    same rounding at bf16."""
+    b, hk, wk, c = yk.shape
+    y0 = jnp.minimum(jnp.floor(cy), hk - 2 if hk > 1 else 0)
+    x0 = jnp.minimum(jnp.floor(cx), wk - 2 if wk > 1 else 0)
+    wy = (cy - y0)[..., None].astype(yk.dtype)
+    wx = (cx - x0)[..., None].astype(yk.dtype)
+    iy = y0.astype(jnp.int32)
+    ix = x0.astype(jnp.int32)
+    flat = yk.reshape(b, hk * wk, c)
+
+    def g(dy, dx):
+        idx = jnp.minimum(iy + dy, hk - 1) * wk + jnp.minimum(ix + dx, wk - 1)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    top = g(0, 0) * (1 - wy) + g(1, 0) * wy
+    bot = g(0, 1) * (1 - wy) + g(1, 1) * wy
+    return top * (1 - wx) + bot * wx
+
+
+def _fm_rows_lazy(ys, iy, ix, H: int, W: int, normalize: bool):
+    """fm[iy, ix] where fm = concat([y1, up2(y2), up8(y3), up32(y4)]),
+    evaluated from the branch maps: y1 contributes its own pixel; each
+    coarser branch contributes its bilinear value at the align_corners-
+    mapped coordinate (exactly what the `_lerp_matrix` upsample computes
+    at that output pixel). iy/ix: (B, S) int32 inside the map. Returns
+    (B, S, dim)."""
+    y1 = ys[0]
+    b, _, _, c1 = y1.shape
+    parts = [
+        jnp.take_along_axis(
+            y1.reshape(b, H * W, c1), (iy * W + ix)[..., None], axis=1
+        )
+    ]
+    for yk in ys[1:]:
+        hk, wk = yk.shape[1:3]
+        cy = iy.astype(jnp.float32) * ((hk - 1.0) / (H - 1.0))
+        cx = ix.astype(jnp.float32) * ((wk - 1.0) / (W - 1.0))
+        parts.append(_branch_rows(yk, cy, cx))
+    rows = jnp.concatenate(parts, axis=-1)
+    if normalize:
+        f32 = rows.astype(jnp.float32)
+        n = jnp.linalg.norm(f32, axis=-1, keepdims=True)
+        rows = (f32 / jnp.maximum(n, 1e-12)).astype(rows.dtype)
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # SDDH: deformable descriptor head (reference aliked.py:479-609)
 # ---------------------------------------------------------------------------
 
@@ -449,30 +594,151 @@ def sddh_describe(
     return nn.l2_normalize(descs, axis=-1)
 
 
+def sddh_describe_lazy(
+    p: nn.Params,
+    ys,
+    keypoints: jnp.ndarray,
+    conf: ALIKEDConfig,
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """``sddh_describe`` against the LAZY feature map: every fm row it
+    needs (3x3 patch taps + the 4 bilinear corners of each offset sample)
+    is evaluated from the branch maps by ``_fm_rows_lazy`` instead of
+    gathered from the dense concat. Same math as
+    ``sddh_describe(prenormalized=False)``: rows are L2-normalized before
+    use, offset samples zero outside the map (grid_sample semantics,
+    reference aliked.py:571-585)."""
+    b = keypoints.shape[0]
+    _, _, _, _, dim, K, M = CFGS[conf.model_name]
+    max_offset = max(H, W) / 4.0
+    ps = K
+    kp_n = keypoints.shape[1]
+
+    ikx = keypoints[..., 0].astype(jnp.int32)
+    iky = keypoints[..., 1].astype(jnp.int32)
+    cx = jnp.clip(
+        (ikx.astype(jnp.float32) - ps / 2 + 1).astype(jnp.int32), 0,
+        W - 1 - ps,
+    )
+    cy = jnp.clip(
+        (iky.astype(jnp.float32) - ps / 2 + 1).astype(jnp.int32), 0,
+        H - 1 - ps,
+    )
+    dy = jnp.repeat(jnp.arange(ps), ps)[None, None, :]
+    dx = jnp.tile(jnp.arange(ps), ps)[None, None, :]
+    yy = (cy[..., None] + dy).reshape(b, -1)
+    xx = (cx[..., None] + dx).reshape(b, -1)
+    patches = _fm_rows_lazy(ys, yy, xx, H, W, normalize=True).reshape(
+        b, kp_n, ps * ps, dim
+    )
+
+    w1 = p["offset_conv1"]["w"].reshape(ps * ps * dim, -1)
+    x = patches.reshape(b, -1, ps * ps * dim) @ w1 + p["offset_conv1"]["b"]
+    x = selu(x)
+    x = x @ p["offset_conv2"]["w"].reshape(2 * M, 2 * M) + p["offset_conv2"]["b"]
+    x = jnp.clip(x, -max_offset, max_offset)
+    off = x.reshape(b, -1, 2, M).transpose(0, 1, 3, 2).astype(jnp.float32)
+
+    pos = keypoints[:, :, None, :] + off  # (B, Kp, M, 2) pixel coords
+    px, py = pos[..., 0], pos[..., 1]
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wdt = ys[0].dtype
+    wx = (px - x0)[..., None].astype(wdt)
+    wy = (py - y0)[..., None].astype(wdt)
+
+    def corner(dy_, dx_):
+        yi = y0 + dy_
+        xi = x0 + dx_
+        inside = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32).reshape(b, -1)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32).reshape(b, -1)
+        v = _fm_rows_lazy(ys, yc, xc, H, W, normalize=True).reshape(
+            b, kp_n, M, dim
+        )
+        return jnp.where(inside[..., None], v, 0.0)
+
+    top = corner(0, 0) * (1 - wx) + corner(0, 1) * wx
+    bot = corner(1, 0) * (1 - wx) + corner(1, 1) * wx
+    feats = top * (1 - wy) + bot * wy  # (B, Kp, M, dim)
+
+    feats = feats @ p["sf_conv"]["w"].reshape(dim, dim)
+    feats = selu(feats)
+    descs = jnp.einsum(
+        "bkpc,pcd->bkd", feats, p["agg_weights"],
+        preferred_element_type=jnp.float32,
+    )
+    return nn.l2_normalize(descs, axis=-1)
+
+
 def forward(
     params: nn.Params,
     conf: ALIKEDConfig,
     image: jnp.ndarray,
     image_size: Optional[jnp.ndarray] = None,
 ) -> Features:
-    """(B, H, W, C) image (H, W multiples of 32) -> static-k Features."""
+    """(B, H, W, C) image (H, W multiples of 32) -> static-k Features.
+
+    Batched calls run ONE IMAGE AT A TIME under ``lax.map``: ALIKED's
+    gather-heavy graph scales badly when XLA batches it (full forward
+    12.7-19 ms/img at B8 vs 9.9 at B1 — same pathology as the deform
+    blocks, scripts/micro_deform_ab.py), and a single 1024x768 image
+    already fills the chip, so the per-image program IS the throughput
+    optimum (B8 under map: 9.94 ms/img, v5e bf16)."""
+    if image.shape[0] > 1 and image.shape[1] * image.shape[2] >= 256 * 256:
+        sz = (
+            image_size
+            if image_size is not None
+            else jnp.tile(
+                jnp.asarray(
+                    [[float(image.shape[2]), float(image.shape[1])]],
+                    jnp.float32,
+                ),
+                (image.shape[0], 1),
+            )
+        )
+        return jax.lax.map(
+            lambda a: jax.tree.map(
+                lambda t: t[0], forward(params, conf, a[0][None], a[1][None])
+            ),
+            (image, sz),
+        )
     if image.shape[-1] == 1:
         image = jnp.repeat(image, 3, axis=-1)
     if conf.mp:
         image = image.astype(jnp.bfloat16)
-    feature_map, score_map = _dense_raw(
-        params, image, fused_score=conf.fused_score_head
-    )
-    # materialize the dense maps ONCE: without this barrier XLA duplicates
-    # the aggregation chain into each gather consumer (score lookup, SDDH
-    # patches, offset samples) — measured +5.6 ms at 1024x768
-    feature_map, score_map = jax.lax.optimization_barrier(
-        (feature_map, score_map)
-    )
-    kpts, kscores, valid = dkd_detect(score_map, conf, image_size)
-    descs = sddh_describe(
-        params["desc_head"], feature_map, kpts, conf, prenormalized=False
-    ).astype(jnp.float32)
+    H, W = image.shape[1:3]
+    if conf.lazy_fm:
+        # lazy feature map: never build the 192 MB/img full-res concat
+        # (reference aliked.py:735 builds it densely; SDDH reads ~25
+        # positions/kpt) — ~24 ms saved at B8 1024x768
+        ys, score_map = _dense_branches(
+            params, image, fused_score=conf.fused_score_head,
+            fused_stem=conf.fused_stem,
+        )
+        ys = jax.lax.optimization_barrier(ys)
+        score_map = jax.lax.optimization_barrier(score_map)
+        kpts, kscores, valid = dkd_detect(score_map, conf, image_size)
+        descs = sddh_describe_lazy(
+            params["desc_head"], ys, kpts, conf, H, W
+        ).astype(jnp.float32)
+    else:
+        feature_map, score_map = _dense_raw(
+            params, image, fused_score=conf.fused_score_head
+        )
+        # materialize the dense maps ONCE: without this barrier XLA
+        # duplicates the aggregation chain into each gather consumer
+        # (score lookup, SDDH patches, offset samples) — measured +5.6 ms
+        # at 1024x768
+        feature_map, score_map = jax.lax.optimization_barrier(
+            (feature_map, score_map)
+        )
+        kpts, kscores, valid = dkd_detect(score_map, conf, image_size)
+        descs = sddh_describe(
+            params["desc_head"], feature_map, kpts, conf,
+            prenormalized=False,
+        ).astype(jnp.float32)
     return Features(
         keypoints=kpts,
         keypoint_scores=jnp.where(valid, kscores, 0.0),

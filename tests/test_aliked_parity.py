@@ -114,6 +114,35 @@ def test_forward_parity(models):
     )
 
 
+def test_lazy_fm_matches_dense():
+    """conf.lazy_fm (branch-map row evaluation, models/aliked.py
+    ``sddh_describe_lazy``) vs the dense concat dataflow: identical
+    keypoints, descriptors equal to fp32 lerp-association tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightglue_tpu.configs import ALIKEDConfig
+    from lightglue_tpu.models import aliked
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 96, 3)).astype(np.float32))
+    c = ALIKEDConfig(model_name="aliked-n16", max_num_keypoints=64,
+                     detection_threshold=0.005)
+    p = aliked.init_params(jax.random.key(1), c)
+    lazy = aliked.forward(p, c.replace(lazy_fm=True), img)
+    dense = aliked.forward(p, c.replace(lazy_fm=False), img)
+    np.testing.assert_allclose(
+        np.asarray(lazy.keypoints), np.asarray(dense.keypoints), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lazy.valid), np.asarray(dense.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lazy.descriptors), np.asarray(dense.descriptors),
+        atol=2e-5,
+    )
+
+
 def test_aliked_twolevel_topk_forward_exact():
     import numpy as np
     import jax

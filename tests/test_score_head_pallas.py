@@ -29,6 +29,7 @@ def _params(key):
     }
 
 
+@pytest.mark.tier2  # NHWC wrapper; the production cplane path is default
 def test_agreement_fp32():
     sh = _params(jax.random.key(0))
     rng = np.random.default_rng(1)
@@ -41,6 +42,7 @@ def test_agreement_fp32():
     np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
 
 
+@pytest.mark.tier2
 def test_mp_no_worse_than_xla_mp():
     """The kernel's bf16 mode keeps fp32 accumulation throughout (the XLA
     tapmat path rounds the 36-lane tap partials to bf16 between the matmul
@@ -85,6 +87,7 @@ def test_cplane_gate():
     assert not score_head_cplane_ok(16, 1024)
 
 
+@pytest.mark.tier2
 def test_agreement_unaligned_width():
     sh = _params(jax.random.key(2))
     rng = np.random.default_rng(3)
