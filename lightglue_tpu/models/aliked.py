@@ -413,31 +413,31 @@ def _dense_branches(
     sh = params["score_head"]
     w0 = sh["0"]["w"][0, 0]
     from ..ops import score_head as _score
-    use_cplane = (
-        fused_score and _lg._on_tpu() and _score.score_head_cplane_ok(h, w)
+    use_lazy_score = (
+        fused_score and _lg._on_tpu() and _score.score_head_lazy_ok(h, w)
     )
-    if use_cplane:
+    if use_lazy_score:
+        # Fully-fused score head: per-branch 1x1 partial sums at NATIVE
+        # resolution in channel-plane layout (einsum output ordering —
+        # only the tiny 8-ch tensors change layout, the shared NHWC
+        # aggregation chain is untouched), upsampling + 3x3 tail inside
+        # the kernel: the 3x full-res fp32 upsampled partials never exist.
+        parts = []
         c = 0
-        s0c = None
-        for xi, up in ((y1, 1), (y2, 2), (y3, 8), (y4, 32)):
+        for xi in (y1, y2, y3, y4):
             si = jnp.einsum(
                 "bhwc,cs->bshw", xi,
                 w0[c : c + xi.shape[-1]].astype(xi.dtype),
                 preferred_element_type=jnp.float32,
             )
             c += xi.shape[-1]
-            if up > 1:
-                si = si.astype(xi.dtype)
-                hi, wi = si.shape[2:]
-                ly = _lerp_matrix(hi * up, hi).astype(si.dtype)
-                lx = _lerp_matrix(wi * up, wi).astype(si.dtype)
-                si = jnp.einsum("oh,bshw->bsow", ly, si)
-                si = jnp.einsum("ow,bshw->bsho", lx, si).astype(jnp.float32)
-            s0c = si if s0c is None else s0c + si
+            parts.append(si)
         if "b" in sh["0"]:
-            s0c = s0c + sh["0"]["b"].astype(jnp.float32).reshape(8, 1, 1)
-        score_map = _score.score_head_pallas_cplane(
-            sh, s0c, mp=y1.dtype == jnp.bfloat16
+            parts[0] = parts[0] + sh["0"]["b"].astype(jnp.float32).reshape(
+                8, 1, 1
+            )
+        score_map = _score.score_head_pallas_lazy(
+            sh, *parts, mp=y1.dtype == jnp.bfloat16
         )
         return (y1, y2, y3, y4), score_map
 
@@ -463,37 +463,45 @@ def _dense_branches(
     return (y1, y2, y3, y4), score_map
 
 
-def _branch_rows(yk: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray):
-    """Bilinear values of branch map yk (B, hk, wk, c) at fractional
+def _quad_table(yk: jnp.ndarray) -> jnp.ndarray:
+    """Corner-quad table over a branch map: T[y, x] = [yk[y,x], yk[y,x+1],
+    yk[y+1,x], yk[y+1,x+1]] for base cells y<hk-1, x<wk-1 — ONE wide row
+    gather fetches all four bilinear corners (TPU gathers cost per ROW;
+    4x 32-lane gathers per sample lose to 1x 128-lane)."""
+    a = yk[:, :-1, :-1]
+    b_ = yk[:, :-1, 1:]
+    c_ = yk[:, 1:, :-1]
+    d = yk[:, 1:, 1:]
+    t = jnp.concatenate([a, b_, c_, d], axis=-1)
+    bsz, hm1, wm1, c4 = t.shape
+    return t.reshape(bsz, hm1 * wm1, c4)
+
+
+def _branch_rows(quad, hk: int, wk: int, c: int, cy, cx, dt):
+    """Bilinear values of a branch map (via its quad table) at fractional
     coordinates (B, S) guaranteed inside [0, hk-1] x [0, wk-1]. Matches
     ``_upsample``'s lerp order (rows first, then columns, with a working-
     dtype round between) so lazy == dense bit-for-bit at fp32 and to the
     same rounding at bf16."""
-    b, hk, wk, c = yk.shape
     y0 = jnp.minimum(jnp.floor(cy), hk - 2 if hk > 1 else 0)
     x0 = jnp.minimum(jnp.floor(cx), wk - 2 if wk > 1 else 0)
-    wy = (cy - y0)[..., None].astype(yk.dtype)
-    wx = (cx - x0)[..., None].astype(yk.dtype)
-    iy = y0.astype(jnp.int32)
-    ix = x0.astype(jnp.int32)
-    flat = yk.reshape(b, hk * wk, c)
-
-    def g(dy, dx):
-        idx = jnp.minimum(iy + dy, hk - 1) * wk + jnp.minimum(ix + dx, wk - 1)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)
-
-    top = g(0, 0) * (1 - wy) + g(1, 0) * wy
-    bot = g(0, 1) * (1 - wy) + g(1, 1) * wy
+    wy = (cy - y0)[..., None].astype(dt)
+    wx = (cx - x0)[..., None].astype(dt)
+    idx = y0.astype(jnp.int32) * (wk - 1) + x0.astype(jnp.int32)
+    g = jnp.take_along_axis(quad, idx[..., None], axis=1)
+    g = g.reshape(*cy.shape, 4, c)
+    top = g[..., 0, :] * (1 - wy) + g[..., 2, :] * wy
+    bot = g[..., 1, :] * (1 - wy) + g[..., 3, :] * wy
     return top * (1 - wx) + bot * wx
 
 
-def _fm_rows_lazy(ys, iy, ix, H: int, W: int, normalize: bool):
+def _fm_rows_lazy(ys, quads, iy, ix, H: int, W: int, normalize: bool):
     """fm[iy, ix] where fm = concat([y1, up2(y2), up8(y3), up32(y4)]),
     evaluated from the branch maps: y1 contributes its own pixel; each
     coarser branch contributes its bilinear value at the align_corners-
     mapped coordinate (exactly what the `_lerp_matrix` upsample computes
-    at that output pixel). iy/ix: (B, S) int32 inside the map. Returns
-    (B, S, dim)."""
+    at that output pixel) via its corner-quad table. iy/ix: (B, S) int32
+    inside the map. Returns (B, S, dim)."""
     y1 = ys[0]
     b, _, _, c1 = y1.shape
     parts = [
@@ -501,11 +509,13 @@ def _fm_rows_lazy(ys, iy, ix, H: int, W: int, normalize: bool):
             y1.reshape(b, H * W, c1), (iy * W + ix)[..., None], axis=1
         )
     ]
-    for yk in ys[1:]:
+    for yk, quad in zip(ys[1:], quads):
         hk, wk = yk.shape[1:3]
         cy = iy.astype(jnp.float32) * ((hk - 1.0) / (H - 1.0))
         cx = ix.astype(jnp.float32) * ((wk - 1.0) / (W - 1.0))
-        parts.append(_branch_rows(yk, cy, cx))
+        parts.append(
+            _branch_rows(quad, hk, wk, yk.shape[-1], cy, cx, y1.dtype)
+        )
     rows = jnp.concatenate(parts, axis=-1)
     if normalize:
         f32 = rows.astype(jnp.float32)
@@ -614,6 +624,7 @@ def sddh_describe_lazy(
     max_offset = max(H, W) / 4.0
     ps = K
     kp_n = keypoints.shape[1]
+    quads = tuple(_quad_table(yk) for yk in ys[1:])
 
     ikx = keypoints[..., 0].astype(jnp.int32)
     iky = keypoints[..., 1].astype(jnp.int32)
@@ -629,7 +640,7 @@ def sddh_describe_lazy(
     dx = jnp.tile(jnp.arange(ps), ps)[None, None, :]
     yy = (cy[..., None] + dy).reshape(b, -1)
     xx = (cx[..., None] + dx).reshape(b, -1)
-    patches = _fm_rows_lazy(ys, yy, xx, H, W, normalize=True).reshape(
+    patches = _fm_rows_lazy(ys, quads, yy, xx, H, W, normalize=True).reshape(
         b, kp_n, ps * ps, dim
     )
 
@@ -654,7 +665,7 @@ def sddh_describe_lazy(
         inside = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
         yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32).reshape(b, -1)
         xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32).reshape(b, -1)
-        v = _fm_rows_lazy(ys, yc, xc, H, W, normalize=True).reshape(
+        v = _fm_rows_lazy(ys, quads, yc, xc, H, W, normalize=True).reshape(
             b, kp_n, M, dim
         )
         return jnp.where(inside[..., None], v, 0.0)

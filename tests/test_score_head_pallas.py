@@ -78,6 +78,45 @@ def test_cplane_agreement_fp32():
     np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
 
 
+def test_lazy_agreement_fp32():
+    """Fully-fused lazy score head (native-res branch partials, in-kernel
+    upsample + tail) vs the composed XLA path (branch partials ->
+    _upsample lerp matmuls -> s0 -> tail)."""
+    from lightglue_tpu.models.aliked import _upsample
+    from lightglue_tpu.ops.score_head import score_head_pallas_lazy
+
+    sh = _params(jax.random.key(6))
+    rng = np.random.default_rng(7)
+    h, w = 256, 128
+    parts_nhwc = [
+        jnp.asarray(
+            rng.standard_normal((1, h // f, w // f, 8)).astype(np.float32)
+        )
+        for f in (1, 2, 8, 32)
+    ]
+    s0 = parts_nhwc[0]
+    for si, f in zip(parts_nhwc[1:], (2, 8, 32)):
+        s0 = s0 + _upsample(si, f)
+    ref = np.asarray(_xla_tail(sh, s0, False))
+    got = np.asarray(
+        score_head_pallas_lazy(
+            sh, *[p.transpose(0, 3, 1, 2) for p in parts_nhwc],
+            mp=False, interpret=True,
+        )
+    )
+    assert got.shape == ref.shape == (1, h, w)
+    # fp32 association only (the lerp matmul order differs from XLA's)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=0)
+
+
+def test_lazy_gate():
+    from lightglue_tpu.ops.score_head import score_head_lazy_ok
+
+    assert score_head_lazy_ok(768, 1024)
+    assert not score_head_lazy_ok(736, 1024)  # h not stride-tileable
+    assert not score_head_lazy_ok(768, 4096)
+
+
 def test_cplane_gate():
     from lightglue_tpu.ops.score_head import score_head_cplane_ok
 
