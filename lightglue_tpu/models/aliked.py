@@ -125,10 +125,15 @@ def _conv_block(p, x):
 
 
 def _res_block(p, x, deform: bool):
+    # non-deform (block2, 16->32 @ H/2): DIRECT XLA conv — im2col
+    # materializes a 9*16-ch patch tensor per conv and measured 2.22 vs
+    # 0.97 ms/img marginal in composition (v5e bf16; /tmp A/B 2026-08,
+    # bit-identical outputs). im2col only pays at full res with <=16ch
+    # (block1, now inside the fused stem kernel on TPU).
     conv = (
         (lambda q, y: deformable_conv_block(q, y))
         if deform
-        else (lambda q, y: nn.conv2d_im2col(q, y))
+        else (lambda q, y: nn.conv2d(q, y))
     )
 
     def one(xi):
