@@ -31,6 +31,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # default `pytest -q` tier excludes these — run them with -m tier2 or
 # `-m ""`; CI runs both tiers).
 _TIER2_FILES = {
+    # opt-in kernel (ALIKEDConfig.fused_score_head defaults False): its
+    # interpret-mode agreement runs cost ~68 s of the default tier
+    "test_score_head_pallas.py",
     "test_matcher_parity.py",
     "test_superpoint_parity.py",
     "test_aliked_parity.py",

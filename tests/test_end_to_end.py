@@ -3,6 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 import jax
+import pytest
 
 from lightglue_tpu.configs import SuperPointConfig, lightglue_config
 from lightglue_tpu.end_to_end import make_end_to_end, make_sequence_end_to_end
@@ -168,9 +169,14 @@ def test_e2e_superpoint_match():
         assert valid1[0, m0[0, i]]
 
 
+@pytest.mark.tier2
 def test_e2e_sift_device_match():
     """Device SIFT e2e: detection+RootSIFT on device feeding the scale/ori-
-    aware matcher in one program."""
+    aware matcher in one program.
+
+    tier2: ~15 s of JAX-SIFT scale-space compile; the same device-SIFT →
+    matcher composition runs in the default tier via
+    test_pipeline.py::test_device_sift_extractor_and_sequence."""
     from lightglue_tpu.configs import SIFTConfig
     from lightglue_tpu.models import sift_jax
 
