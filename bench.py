@@ -230,7 +230,11 @@ def _extractor_setup(extractor, k):
     if extractor == "aliked":
         from lightglue_tpu.models import aliked as al
 
-        sconf = ALIKEDConfig(max_num_keypoints=k, mp=True)
+        # approx_topk as on the superpoint line: lax.approx_max_k composes
+        # ~1.4 ms/img better than exact top_k in the full ALIKED forward
+        # (6.96 vs 8.32 ms/img, v5e bf16 2026-08); selection may differ only
+        # at the weakest detections near the k-cut (~0.998 observed recall)
+        sconf = ALIKEDConfig(max_num_keypoints=k, mp=True, approx_topk=0.95)
         return sconf, al.init_params(jax.random.key(1), sconf), al.forward, \
             "aliked"
     if extractor == "disk":
