@@ -129,10 +129,15 @@ def fused_block2_pallas(
     h2: int,
     w2: int,
     mp: bool = True,
-    tile_rows: int = 16,
+    tile_rows: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """conv2a/conv2b/pool2 of the SuperPoint encoder in one Pallas pass.
+
+    tile_rows=32 (vs 16) halves the halo recompute fraction and the grid
+    step count: 1.687 vs 1.732 ms/img full SuperPoint forward (v5e bf16
+    B8 @1024x768); 64 measured slightly worse (1.707). Output is bitwise
+    invariant to the tile split (identical per-row arithmetic).
 
     params: {"conv2a": {w (3,3,64,64), b (64,)}, "conv2b": ...}. ``x`` is
     the channel-plane stem output (B, >=h2, 64, wp2) from
